@@ -1,0 +1,192 @@
+"""Dataset + static-shape bucketing batcher.
+
+Rebuilds the reference data layer capabilities (AudioToTextDataLayer /
+AudioDataset / seq_collate_fn, /root/reference/nemo/collections/asr/
+data_layer.py:42-190 and parts/dataset.py:14-172) the TPU way:
+
+- The reference pads each batch to its max length — fine for eager GPU
+  execution, but a new shape per batch means a recompile per batch under
+  XLA. Here utterances are grouped into a FIXED set of duration buckets and
+  padded to the bucket's static length, so the number of compiled programs
+  is bounded by the bucket count while MXU utilization stays high.
+- Per-shard partitioning (shard_id / num_shards) replaces
+  torch DistributedSampler (reference actions.py:1195-1204): each host
+  feeds its own manifest slice, matching per-process data parallelism.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from vietasr_tpu.audio.io import read_audio
+from vietasr_tpu.audio.manifest import ManifestEntry
+from vietasr_tpu.audio.tokenizer import CharTokenizer
+
+
+@dataclass
+class Batch:
+    """One static-shape batch. `signal` is zero-padded to the bucket length;
+    real lengths ride along for masking (never recomputed downstream)."""
+
+    signal: np.ndarray        # (B, S_bucket) float32
+    signal_lens: np.ndarray   # (B,) int32
+    tokens: np.ndarray        # (B, L_max) int32
+    token_lens: np.ndarray    # (B,) int32
+
+    @property
+    def audio_seconds(self) -> float:
+        return float(self.signal_lens.sum())
+
+
+class AudioTextDataset:
+    """Decodes and tokenizes manifest entries on demand."""
+
+    def __init__(
+        self,
+        entries: Sequence[ManifestEntry],
+        tokenizer: CharTokenizer,
+        *,
+        sample_rate: int = 16000,
+        trim: bool = False,
+        augmentor=None,
+    ):
+        self.tokenizer = tokenizer
+        self.sample_rate = sample_rate
+        self.trim = trim
+        self.augmentor = augmentor
+        # tokenize up front; drop utterances with unmappable chars
+        # (reference AudioText drops them with a counter, collections.py:139-151)
+        self.entries: List[ManifestEntry] = []
+        self.token_ids: List[List[int]] = []
+        self.num_dropped = 0
+        for e in entries:
+            ids = tokenizer.encode(e.text)
+            if ids is None or len(ids) == 0:
+                self.num_dropped += 1
+                continue
+            self.entries.append(e)
+            self.token_ids.append(ids)
+
+    def __len__(self) -> int:
+        return len(self.entries)
+
+    def max_token_len(self) -> int:
+        return max((len(t) for t in self.token_ids), default=1)
+
+    def __getitem__(self, i: int) -> Tuple[np.ndarray, List[int]]:
+        e = self.entries[i]
+        samples, _ = read_audio(
+            e.audio_file, target_sr=self.sample_rate,
+            offset=e.offset or 0.0, duration=e.duration, trim=self.trim)
+        if self.augmentor is not None:
+            samples = self.augmentor(samples, self.sample_rate)
+        return samples.astype(np.float32), self.token_ids[i]
+
+
+def default_buckets(max_duration: float, sample_rate: int,
+                    n_buckets: int = 8) -> List[int]:
+    """Geometric-ish bucket upper bounds in samples, last = max_duration."""
+    secs = np.linspace(max_duration / n_buckets, max_duration, n_buckets)
+    return [int(round(s * sample_rate)) for s in secs]
+
+
+def pad_to_bucket(x: np.ndarray, bucket_len: int) -> np.ndarray:
+    if len(x) >= bucket_len:
+        return x[:bucket_len]
+    return np.pad(x, (0, bucket_len - len(x)))
+
+
+class BucketBatcher:
+    """Yields static-shape Batches grouped by duration bucket.
+
+    Each epoch: shuffle entries (seeded), assign to buckets, emit batches
+    bucket-by-bucket (interleaved in shuffled order). Partial batches are
+    padded by repeating the last utterance with zero weight via
+    signal_lens=0 when drop_last=False, or dropped when True.
+    """
+
+    def __init__(
+        self,
+        dataset: AudioTextDataset,
+        batch_size: int,
+        *,
+        buckets: Optional[Sequence[int]] = None,
+        max_duration: float = 16.7,
+        shuffle: bool = True,
+        seed: int = 0,
+        drop_last: bool = False,
+        shard_id: int = 0,
+        num_shards: int = 1,
+        max_token_len: Optional[int] = None,
+    ):
+        self.ds = dataset
+        self.batch_size = batch_size
+        self.buckets = sorted(buckets or default_buckets(
+            max_duration, dataset.sample_rate))
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.shard_id = shard_id
+        self.num_shards = num_shards
+        self.max_token_len = max_token_len or dataset.max_token_len()
+        self.epoch = 0
+
+    def _bucket_of(self, n_samples: int) -> int:
+        for bi, b in enumerate(self.buckets):
+            if n_samples <= b:
+                return bi
+        return len(self.buckets) - 1
+
+    def __iter__(self) -> Iterator[Batch]:
+        rng = np.random.RandomState(self.seed + self.epoch)
+        idx = np.arange(len(self.ds))
+        if self.shuffle:
+            rng.shuffle(idx)
+        idx = idx[self.shard_id :: self.num_shards]
+
+        pending: List[List[int]] = [[] for _ in self.buckets]
+        for i in idx:
+            n = int(self.ds.entries[i].duration * self.ds.sample_rate)
+            bi = self._bucket_of(n)
+            pending[bi].append(int(i))
+            if len(pending[bi]) == self.batch_size:
+                yield self._make_batch(pending[bi], bi)
+                pending[bi] = []
+        if not self.drop_last:
+            for bi, rest in enumerate(pending):
+                if rest:
+                    yield self._make_batch(rest, bi, pad_batch=True)
+        self.epoch += 1
+
+    def _make_batch(self, indices: List[int], bucket_idx: int,
+                    pad_batch: bool = False) -> Batch:
+        bucket_len = self.buckets[bucket_idx]
+        b = self.batch_size if pad_batch else len(indices)
+        signal = np.zeros((b, bucket_len), np.float32)
+        signal_lens = np.zeros((b,), np.int32)
+        tokens = np.zeros((b, self.max_token_len), np.int32)
+        token_lens = np.zeros((b,), np.int32)
+        for row, i in enumerate(indices):
+            samples, ids = self.ds[i]
+            n = min(len(samples), bucket_len)
+            signal[row, :n] = samples[:n]
+            signal_lens[row] = n
+            l = min(len(ids), self.max_token_len)
+            tokens[row, :l] = ids[:l]
+            token_lens[row] = l
+        # rows beyond len(indices) stay zero-length -> masked out downstream
+        return Batch(signal, signal_lens, tokens, token_lens)
+
+
+def batch_sample_stats(batcher: BucketBatcher) -> dict:
+    """Padding-efficiency diagnostics (fraction of real audio in batches)."""
+    total = 0
+    real = 0
+    for batch in batcher:
+        total += batch.signal.size
+        real += int(batch.signal_lens.sum())
+    return {"pad_efficiency": real / max(total, 1)}

@@ -1,0 +1,154 @@
+"""Host-side audio I/O: wav decode, resample, silence trim.
+
+Rebuilds the capabilities of the reference AudioSegment
+(/root/reference/nemo/collections/asr/parts/segment.py:10-183) without
+libsndfile/librosa (not in this image):
+
+- WAV decode via scipy.io.wavfile (PCM8/16/32, float32/64), int scaled to
+  [-1, 1] exactly as _convert_samples_to_float32 does (segment.py:62-77).
+- Resampling as a polyphase FIR (scipy.signal.resample_poly) — same family
+  of algorithm librosa's resample uses under the hood.
+- trim_silence replicating librosa.effects.trim semantics: frame-level RMS
+  vs max-RMS threshold at top_db (default 60, segment.py:28-29).
+
+MP3 is not supported in this environment (no ffmpeg); a clear error tells
+the caller to transcode (the reference shells out to ffmpeg via audioread,
+README.md:31).
+"""
+
+from __future__ import annotations
+
+import io as _io
+import math
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import numpy as np
+from scipy.io import wavfile
+from scipy.signal import resample_poly
+
+
+def _to_float32(samples: np.ndarray) -> np.ndarray:
+    """Int PCM -> [-1, 1] float32 (reference segment.py:62-77 scaling)."""
+    if np.issubdtype(samples.dtype, np.integer):
+        bits = np.iinfo(samples.dtype).bits
+        if samples.dtype == np.uint8:
+            return (samples.astype(np.float32) - 128.0) / 128.0
+        return samples.astype(np.float32) / (2.0 ** (bits - 1))
+    return samples.astype(np.float32)
+
+
+def read_wav(path_or_bytes) -> Tuple[np.ndarray, int]:
+    """Read a wav file (path, file-like, or raw bytes) -> (float32 mono, sr)."""
+    if isinstance(path_or_bytes, (bytes, bytearray)):
+        path_or_bytes = _io.BytesIO(path_or_bytes)
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", wavfile.WavFileWarning)
+        sr, samples = wavfile.read(path_or_bytes)
+    samples = _to_float32(np.asarray(samples))
+    if samples.ndim >= 2:
+        samples = samples.mean(axis=1)
+    return samples, sr
+
+
+def read_audio(path, *, target_sr: Optional[int] = None,
+               offset: float = 0.0, duration: float = 0.0,
+               trim: bool = False, trim_db: float = 60.0
+               ) -> Tuple[np.ndarray, int]:
+    """Full decode pipeline: wav -> mono float32 -> offset/duration slice ->
+    resample -> optional trim."""
+    p = str(path)
+    if p.lower().endswith(".mp3"):
+        raise NotImplementedError(
+            "mp3 decode requires ffmpeg, which is not available in this "
+            "image; transcode to wav first")
+    samples, sr = read_wav(p)
+    if offset or duration:
+        start = int(offset * sr)
+        stop = start + int(duration * sr) if duration else len(samples)
+        samples = samples[start:stop]
+    if target_sr is not None and target_sr != sr:
+        samples = resample(samples, sr, target_sr)
+        sr = target_sr
+    if trim:
+        samples = trim_silence(samples, top_db=trim_db)
+    return samples, sr
+
+
+def resample(samples: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
+    """Polyphase FIR resampling (e.g. 8 kHz call-center audio -> 16 kHz)."""
+    if orig_sr == target_sr:
+        return samples
+    g = math.gcd(int(orig_sr), int(target_sr))
+    return resample_poly(samples.astype(np.float32),
+                         target_sr // g, orig_sr // g).astype(np.float32)
+
+
+def trim_silence(samples: np.ndarray, *, top_db: float = 60.0,
+                 frame_length: int = 2048, hop_length: int = 512) -> np.ndarray:
+    """librosa.effects.trim semantics: drop leading/trailing frames whose
+    RMS is more than top_db below the max frame RMS."""
+    if len(samples) == 0:
+        return samples
+    n_frames = 1 + max(len(samples) - frame_length, 0) // hop_length
+    rms = np.empty(n_frames)
+    for i in range(n_frames):
+        frame = samples[i * hop_length : i * hop_length + frame_length]
+        rms[i] = np.sqrt(np.mean(frame.astype(np.float64) ** 2) + 1e-20)
+    threshold = rms.max() * (10.0 ** (-top_db / 20.0))
+    loud = np.nonzero(rms > threshold)[0]
+    if len(loud) == 0:
+        return samples[:0]
+    start = loud[0] * hop_length
+    stop = min(len(samples), (loud[-1] + 1) * hop_length + frame_length)
+    return samples[start:stop]
+
+
+@dataclass
+class AudioSegment:
+    """Mono float32 audio with its sample rate (reference AudioSegment API)."""
+
+    samples: np.ndarray
+    sample_rate: int
+
+    @classmethod
+    def from_file(cls, path, *, target_sr: Optional[int] = None,
+                  offset: float = 0.0, duration: float = 0.0,
+                  trim: bool = False) -> "AudioSegment":
+        samples, sr = read_audio(path, target_sr=target_sr, offset=offset,
+                                 duration=duration, trim=trim)
+        return cls(samples=samples, sample_rate=sr)
+
+    @property
+    def num_samples(self) -> int:
+        return len(self.samples)
+
+    @property
+    def duration(self) -> float:
+        return len(self.samples) / float(self.sample_rate)
+
+    @property
+    def rms_db(self) -> float:
+        mean_sq = float(np.mean(self.samples ** 2) + 1e-20)
+        return 10.0 * np.log10(mean_sq)
+
+    def gain_db(self, gain: float) -> None:
+        self.samples = self.samples * (10.0 ** (gain / 20.0))
+
+    def pad(self, pad_size: int, symmetric: bool = False) -> None:
+        self.samples = np.pad(
+            self.samples,
+            (pad_size if symmetric else 0, pad_size), mode="constant")
+
+    def subsegment(self, start: Optional[float] = None,
+                   end: Optional[float] = None) -> None:
+        start = 0.0 if start is None else start
+        end = self.duration if end is None else end
+        if start < 0.0:
+            start += self.duration
+        if end < 0.0:
+            end += self.duration
+        s = int(round(start * self.sample_rate))
+        e = int(round(end * self.sample_rate))
+        self.samples = self.samples[s:e]

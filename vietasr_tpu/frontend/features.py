@@ -144,7 +144,9 @@ def _normalize(x, seq_len, normalize_type: str):
     """
     t = x.shape[1]
     mask = (jnp.arange(t)[None, :] < seq_len[:, None]).astype(x.dtype)  # (B, T)
-    n = seq_len.astype(x.dtype)
+    # guard zero-length rows (partial-batch padding): their output is fully
+    # masked to pad_value afterwards, so the stats just need to be finite
+    n = jnp.maximum(seq_len, 2).astype(x.dtype)
     if normalize_type == "per_feature":
         mask3 = mask[:, :, None]
         mean = jnp.sum(x * mask3, axis=1) / n[:, None]                   # (B, D)
