@@ -1,0 +1,239 @@
+"""Command-line interface: transcribe / train / eval.
+
+Reference entry points: infer.py:174-207 (batch transcription over a wav
+directory) and the NemoArgParser training flag set
+(/root/reference/nemo/utils/argparse.py:6-133).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+import time
+
+
+def _add_common_model_args(p: argparse.ArgumentParser):
+    p.add_argument("--config", required=True, help="model YAML config")
+    p.add_argument("--encoder-checkpoint", help="reference-format encoder .pt")
+    p.add_argument("--decoder-checkpoint", help="reference-format decoder .pt")
+    p.add_argument("--checkpoint-dir", help="our msgpack checkpoint folder")
+
+
+def cmd_transcribe(args) -> int:
+    import numpy as np
+
+    from vietasr_tpu.pipeline import Transcriber, TranscriberOptions
+
+    opts = TranscriberOptions(
+        beam_width=args.beam_width, lm_path=args.lm_path,
+        lm_alpha=args.lm_alpha, lm_beta=args.lm_beta)
+    variables = None
+    if args.checkpoint_dir:
+        variables = _load_msgpack_variables(args)
+    t = Transcriber(
+        args.config,
+        encoder_checkpoint=args.encoder_checkpoint,
+        decoder_checkpoint=args.decoder_checkpoint,
+        variables=variables,
+        options=opts)
+
+    paths = []
+    for target in args.audio:
+        if os.path.isdir(target):
+            paths.extend(sorted(glob.glob(os.path.join(target, "*.wav"))))
+        else:
+            paths.append(target)
+    if not paths:
+        print("no audio files found", file=sys.stderr)
+        return 1
+
+    from vietasr_tpu.audio.io import read_audio
+
+    signals, kept = [], []
+    sr = t.cfg.featurizer.sample_rate
+    for p in paths:
+        samples, _ = read_audio(p, target_sr=sr)
+        if args.max_duration and len(samples) > args.max_duration * sr:
+            print(f"SKIP (> {args.max_duration}s): {p}", file=sys.stderr)
+            continue
+        signals.append(samples)
+        kept.append(p)
+    t0 = time.time()
+    texts = t.transcribe_batch(signals)
+    wall = time.time() - t0
+    audio_secs = sum(len(s) for s in signals) / sr
+    for p, text in zip(kept, texts):
+        print(json.dumps({"audio_filepath": p, "pred_text": text},
+                         ensure_ascii=False))
+    print(f"# {len(kept)} files, {audio_secs:.1f}s audio in {wall:.2f}s "
+          f"({audio_secs / max(wall, 1e-9):.1f}x realtime)", file=sys.stderr)
+    return 0
+
+
+def _load_msgpack_variables(args):
+    import jax
+
+    from vietasr_tpu.config import load_config
+    from vietasr_tpu.models import init_quartznet
+    from vietasr_tpu.train import CheckpointManager
+
+    cfg = load_config(args.config)
+    template_vars = init_quartznet(jax.random.PRNGKey(0), cfg.encoder,
+                                   cfg.num_classes)
+    variables = CheckpointManager(args.checkpoint_dir).restore_variables(
+        template_vars)
+    if variables is None:
+        raise FileNotFoundError(
+            f"no checkpoints in {args.checkpoint_dir}")
+    return variables
+
+
+def cmd_train(args) -> int:
+    import jax
+
+    from vietasr_tpu.audio import (AudioTextDataset, BucketBatcher,
+                                   CharTokenizer, read_manifest)
+    from vietasr_tpu.config import load_config
+    from vietasr_tpu.models import init_quartznet
+    from vietasr_tpu.train import (CheckpointManager, TrainState,
+                                   Trainer, make_optimizer, make_schedule)
+
+    cfg = load_config(args.config)
+    tok = CharTokenizer(cfg.labels)
+    entries = read_manifest(args.train_manifest,
+                            min_duration=cfg.data.min_duration,
+                            max_duration=cfg.data.max_duration)
+    ds = AudioTextDataset(entries, tok,
+                          sample_rate=cfg.featurizer.sample_rate,
+                          trim=cfg.data.trim_silence)
+    batcher = BucketBatcher(ds, args.batch_size,
+                            max_duration=cfg.data.max_duration or 16.7,
+                            seed=args.seed)
+
+    steps_per_epoch = max(len(ds) // args.batch_size, 1)
+    total = args.num_epochs * steps_per_epoch
+    schedule = make_schedule(args.lr_policy, args.lr, total,
+                             warmup_steps=args.warmup_steps)
+    opt = make_optimizer(args.optimizer, schedule,
+                         weight_decay=args.weight_decay,
+                         grad_clip_norm=args.grad_clip)
+    variables = init_quartznet(jax.random.PRNGKey(args.seed), cfg.encoder,
+                               cfg.num_classes)
+    state = TrainState.create(variables, opt)
+
+    cm = CheckpointManager(args.work_dir, keep=args.keep_checkpoints)
+    restored = cm.restore(state)
+    if restored is not None:
+        state = restored
+        print(f"resumed from step {int(state.step)}")
+
+    eval_batcher = None
+    if args.eval_manifest:
+        eval_ds = AudioTextDataset(
+            read_manifest(args.eval_manifest), tok,
+            sample_rate=cfg.featurizer.sample_rate)
+        eval_batcher = BucketBatcher(eval_ds, args.batch_size, shuffle=False)
+
+    trainer = Trainer(cfg=cfg, optimizer=opt, grad_accum=args.grad_accum,
+                      lr_schedule=schedule, log_every=args.log_every,
+                      eval_every=args.eval_every, checkpoint_manager=cm,
+                      checkpoint_every=args.checkpoint_every, seed=args.seed)
+    trainer.callbacks.append(
+        lambda tr, m: print(json.dumps(m, ensure_ascii=False)))
+    state = trainer.fit(state, batcher, num_epochs=args.num_epochs,
+                        eval_batcher=eval_batcher)
+    cm.save(state)
+    print(f"done at step {int(state.step)}")
+    return 0
+
+
+def cmd_eval(args) -> int:
+    import jax
+
+    from vietasr_tpu.audio import (AudioTextDataset, BucketBatcher,
+                                   CharTokenizer, read_manifest)
+    from vietasr_tpu.config import load_config
+    from vietasr_tpu.models import init_quartznet
+    from vietasr_tpu.models.convert import variables_from_checkpoints
+    from vietasr_tpu.train import TrainState, Trainer, make_optimizer
+
+    cfg = load_config(args.config)
+    if args.encoder_checkpoint and args.decoder_checkpoint:
+        variables = variables_from_checkpoints(
+            args.encoder_checkpoint, args.decoder_checkpoint, cfg.encoder)
+    elif args.checkpoint_dir:
+        variables = _load_msgpack_variables(args)
+    else:
+        variables = init_quartznet(jax.random.PRNGKey(0), cfg.encoder,
+                                   cfg.num_classes)
+    opt = make_optimizer("sgd", 0.0)
+    state = TrainState.create(variables, opt)
+    tok = CharTokenizer(cfg.labels)
+    ds = AudioTextDataset(read_manifest(args.manifest), tok,
+                          sample_rate=cfg.featurizer.sample_rate)
+    batcher = BucketBatcher(ds, args.batch_size, shuffle=False)
+    trainer = Trainer(cfg=cfg, optimizer=opt)
+    result = trainer.evaluate(state, batcher)
+    print(json.dumps(result, ensure_ascii=False))
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="vietasr_tpu", description="TPU-native Vietnamese ASR")
+    parser.add_argument("--platform", choices=["tpu", "cpu"], default=None,
+                        help="force the JAX platform (default: environment)")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("transcribe", help="transcribe wav files or a directory")
+    _add_common_model_args(p)
+    p.add_argument("audio", nargs="+", help="wav files or directories")
+    p.add_argument("--beam-width", type=int, default=100)
+    p.add_argument("--lm-path", help="ARPA/kenlm n-gram LM for beam search")
+    p.add_argument("--lm-alpha", type=float, default=0.5)
+    p.add_argument("--lm-beta", type=float, default=1.5)
+    p.add_argument("--max-duration", type=float, default=0.0,
+                   help="skip files longer than this many seconds (0 = no "
+                        "skip; the reference skips >10s, infer.py:201-203)")
+    p.set_defaults(fn=cmd_transcribe)
+
+    p = sub.add_parser("train", help="train from a JSON-lines manifest")
+    _add_common_model_args(p)
+    p.add_argument("--train-manifest", required=True)
+    p.add_argument("--eval-manifest")
+    p.add_argument("--work-dir", default="work")
+    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--num-epochs", type=int, default=1)
+    p.add_argument("--optimizer", default="novograd")
+    p.add_argument("--lr", type=float, default=0.02)
+    p.add_argument("--lr-policy", default="CosineAnnealing")
+    p.add_argument("--warmup-steps", type=int, default=1000)
+    p.add_argument("--weight-decay", type=float, default=0.001)
+    p.add_argument("--grad-clip", type=float, default=None)
+    p.add_argument("--grad-accum", type=int, default=1)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--log-every", type=int, default=10)
+    p.add_argument("--eval-every", type=int, default=0)
+    p.add_argument("--checkpoint-every", type=int, default=500)
+    p.add_argument("--keep-checkpoints", type=int, default=4)
+    p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("eval", help="WER/CER over a labelled manifest")
+    _add_common_model_args(p)
+    p.add_argument("--manifest", required=True)
+    p.add_argument("--batch-size", type=int, default=16)
+    p.set_defaults(fn=cmd_eval)
+
+    args = parser.parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

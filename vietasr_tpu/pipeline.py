@@ -1,0 +1,168 @@
+"""End-to-end inference facade — the `VietASR` equivalent.
+
+Reference: infer.py:57-171 builds a lazy NmTensor DAG once and re-runs it
+per utterance. Here the "graph" is a jitted function per duration bucket:
+featurize -> folded-BN QuartzNet -> log-probs (+ greedy collapse). Incoming
+audio is padded up to the next bucket so the number of compiled programs is
+bounded and static (XLA-friendly), and batching across utterances is free.
+
+Decoding: greedy on device; optional n-gram LM beam search via
+vietasr_tpu.ops.beam_search when an LM/beam config is given (reference
+BeamSearchDecoderWithLM, beam_search_decoder.py:14-102).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vietasr_tpu.audio.io import read_audio
+from vietasr_tpu.config import ModelConfig, load_config
+from vietasr_tpu.frontend.features import make_featurizer
+from vietasr_tpu.models.convert import variables_from_checkpoints
+from vietasr_tpu.models.quartznet import fold_batchnorm, init_quartznet, quartznet_apply
+from vietasr_tpu.ops.greedy import collapse_batch, greedy_decode, ids_to_text
+
+
+@dataclasses.dataclass
+class TranscriberOptions:
+    beam_width: int = 100
+    lm_path: Optional[str] = None
+    lm_alpha: float = 0.5
+    lm_beta: float = 1.5
+    fold_bn: bool = True
+    buckets_seconds: Sequence[float] = (2.0, 4.0, 6.0, 8.0, 11.0, 16.7)
+    max_batch: int = 8
+
+
+class Transcriber:
+    """Config + checkpoints -> `.transcribe(np.ndarray) -> str`."""
+
+    def __init__(
+        self,
+        config_file: str,
+        *,
+        encoder_checkpoint: Optional[str] = None,
+        decoder_checkpoint: Optional[str] = None,
+        variables: Optional[dict] = None,
+        options: Optional[TranscriberOptions] = None,
+    ):
+        self.cfg: ModelConfig = load_config(config_file)
+        # inference forces dither off (reference infer.py:89)
+        self.cfg = dataclasses.replace(
+            self.cfg,
+            featurizer=dataclasses.replace(self.cfg.featurizer, dither=0.0))
+        self.opts = options or TranscriberOptions()
+
+        if variables is None:
+            if encoder_checkpoint and decoder_checkpoint:
+                variables = variables_from_checkpoints(
+                    encoder_checkpoint, decoder_checkpoint, self.cfg.encoder)
+            else:
+                variables = init_quartznet(
+                    jax.random.PRNGKey(0), self.cfg.encoder,
+                    self.cfg.num_classes)
+                # overlay whichever reference checkpoint was provided
+                from vietasr_tpu.models.convert import (
+                    decoder_from_state_dict, encoder_from_state_dict,
+                    load_torch_state_dict)
+
+                if encoder_checkpoint:
+                    enc = encoder_from_state_dict(
+                        load_torch_state_dict(encoder_checkpoint),
+                        self.cfg.encoder)
+                    variables["params"]["encoder"] = enc["params"]
+                    variables["batch_stats"]["encoder"] = enc["batch_stats"]
+                if decoder_checkpoint:
+                    variables["params"]["decoder"] = decoder_from_state_dict(
+                        load_torch_state_dict(decoder_checkpoint))
+        if self.opts.fold_bn:
+            variables = fold_batchnorm(variables, self.cfg.encoder)
+        self.variables = variables
+
+        self._featurize = make_featurizer(self.cfg.featurizer)
+        self._fwd = jax.jit(self._forward)
+        sr = self.cfg.featurizer.sample_rate
+        self.buckets = [int(s * sr) for s in self.opts.buckets_seconds]
+        self._decoder = None
+        if self.opts.lm_path is not None:
+            from vietasr_tpu.ops.beam_search import BeamSearchDecoderLM
+
+            self._decoder = BeamSearchDecoderLM(
+                self.cfg.labels, lm_path=self.opts.lm_path,
+                alpha=self.opts.lm_alpha, beta=self.opts.lm_beta,
+                beam_width=self.opts.beam_width)
+
+    # -- compiled core -----------------------------------------------------
+
+    def _forward(self, signal, lengths):
+        feats, flens = self._featurize(signal, lengths)
+        log_probs, enc_lens, _ = quartznet_apply(
+            self.variables, feats, flens, cfg=self.cfg.encoder)
+        preds, keep = greedy_decode(log_probs, enc_lens,
+                                    blank=self.cfg.num_classes)
+        return log_probs, enc_lens, preds, keep
+
+    def _bucket_len(self, n: int) -> int:
+        for b in self.buckets:
+            if n <= b:
+                return b
+        return ((n + 15999) // 16000) * 16000   # round long audio up to 1 s
+
+    # -- public API --------------------------------------------------------
+
+    def log_probs(self, signal: np.ndarray):
+        """(B?, S) or (S,) waveform -> (log_probs, enc_lens) as np arrays."""
+        if signal.ndim == 1:
+            signal = signal[None]
+        n = signal.shape[1]
+        bl = self._bucket_len(n)
+        padded = np.zeros((signal.shape[0], bl), np.float32)
+        padded[:, :n] = signal
+        lens = jnp.asarray(np.full((signal.shape[0],), n, np.int32))
+        lp, el, _, _ = self._fwd(jnp.asarray(padded), lens)
+        return np.asarray(lp), np.asarray(el)
+
+    def transcribe(self, signal: np.ndarray) -> str:
+        """Single-utterance transcription (reference VietASR.transcribe,
+        infer.py:167-171)."""
+        return self.transcribe_batch([signal])[0]
+
+    def transcribe_batch(self, signals: List[np.ndarray]) -> List[str]:
+        """Batch utterances of one bucket together for MXU utilization."""
+        out: List[Optional[str]] = [None] * len(signals)
+        order = sorted(range(len(signals)), key=lambda i: len(signals[i]))
+        i = 0
+        while i < len(order):
+            bl = self._bucket_len(len(signals[order[i]]))
+            group = []
+            while (i < len(order) and len(group) < self.opts.max_batch
+                   and self._bucket_len(len(signals[order[i]])) == bl):
+                group.append(order[i])
+                i += 1
+            batch = np.zeros((len(group), bl), np.float32)
+            lens = np.zeros((len(group),), np.int32)
+            for row, gi in enumerate(group):
+                s = np.asarray(signals[gi], np.float32)
+                batch[row, : len(s)] = s[:bl]
+                lens[row] = min(len(s), bl)
+            lp, enc_lens, preds, keep = self._fwd(jnp.asarray(batch),
+                                                  jnp.asarray(lens))
+            if self._decoder is not None:
+                texts = self._decoder.decode_batch(
+                    np.asarray(lp), np.asarray(enc_lens))
+            else:
+                texts = [ids_to_text(ids, self.cfg.labels)
+                         for ids in collapse_batch(preds, keep)]
+            for row, gi in enumerate(group):
+                out[gi] = texts[row]
+        return out  # type: ignore
+
+    def transcribe_file(self, path: str) -> str:
+        samples, _ = read_audio(
+            path, target_sr=self.cfg.featurizer.sample_rate)
+        return self.transcribe(samples)

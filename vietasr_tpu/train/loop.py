@@ -1,0 +1,238 @@
+"""Train/eval steps and the training driver.
+
+Rebuilds the reference PtActions train loop capabilities
+(/root/reference/nemo/backends/pytorch/actions.py:1057-1421) as pure jitted
+functions over a TrainState:
+
+- forward = featurize -> SpecAugment -> QuartzNet -> CTC loss, all on device
+  in one compiled program (the reference runs module-by-module in Python).
+- gradient accumulation as a lax.scan over microbatches (reference uses
+  batches_per_step + DDP.no_sync, actions.py:1347-1401).
+- NaN/inf guard: non-finite loss skips the update and counts it
+  (actions.py:1353-1376), without host sync.
+- data parallelism: jit the same step with the batch sharded over a 1-axis
+  Mesh — XLA inserts the gradient psum that DDP's allreduce did
+  (actions.py:1252-1254). Batch-norm batch stats are computed by global
+  mean under jit, i.e. SyncBatchNorm semantics (actions.py:1229-1248) for
+  free.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from vietasr_tpu.config import ModelConfig
+from vietasr_tpu.frontend.features import make_featurizer
+from vietasr_tpu.models.quartznet import quartznet_apply
+from vietasr_tpu.ops.ctc_loss import ctc_loss
+from vietasr_tpu.ops.greedy import collapse_batch, greedy_decode, ids_to_text
+from vietasr_tpu.ops.specaug import apply_spec_augment
+from vietasr_tpu.train.metrics import word_error_rate
+from vietasr_tpu.train.state import TrainState
+
+
+def batch_to_arrays(batch) -> Dict[str, jnp.ndarray]:
+    return {
+        "signal": jnp.asarray(batch.signal),
+        "signal_lens": jnp.asarray(batch.signal_lens),
+        "tokens": jnp.asarray(batch.tokens),
+        "token_lens": jnp.asarray(batch.token_lens),
+    }
+
+
+def make_loss_fn(cfg: ModelConfig, *, use_specaug: bool = True):
+    featurize = make_featurizer(cfg.featurizer)
+    blank = cfg.num_classes
+
+    def loss_fn(params, batch_stats, batch, rng, training: bool):
+        variables = {"params": params, "batch_stats": batch_stats}
+        r_dither, r_aug, r_drop = jax.random.split(rng, 3)
+        feats, flens = featurize(batch["signal"], batch["signal_lens"],
+                                 rng=r_dither, training=training)
+        if training and use_specaug:
+            feats = apply_spec_augment(r_aug, feats, cfg.spec_augment)
+        log_probs, enc_lens, new_stats = quartznet_apply(
+            variables, feats, flens, cfg=cfg.encoder, training=training,
+            rng=r_drop)
+        per_sample = ctc_loss(log_probs, batch["tokens"], enc_lens,
+                              batch["token_lens"], blank=blank,
+                              reduction="none")
+        # padded rows (signal_lens == 0) carry no loss
+        valid = batch["signal_lens"] > 0
+        per_sample = jnp.where(valid, per_sample, 0.0)
+        loss = jnp.sum(per_sample) / jnp.maximum(jnp.sum(valid), 1)
+        return loss, (new_stats, log_probs, enc_lens)
+
+    return loss_fn
+
+
+def make_train_step(
+    cfg: ModelConfig,
+    optimizer: optax.GradientTransformation,
+    *,
+    grad_accum: int = 1,
+    use_specaug: bool = True,
+    lr_schedule=None,
+):
+    """Returns train_step(state, batch_dict, rng) -> (state, metrics)."""
+    loss_fn = make_loss_fn(cfg, use_specaug=use_specaug)
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def one_microbatch(carry, micro):
+        params, stats, grad_sum, loss_sum, rng = carry
+        rng, sub = jax.random.split(rng)
+        (loss, (new_stats, _, _)), grads = grad_fn(params, stats, micro, sub,
+                                                   True)
+        grad_sum = jax.tree_util.tree_map(jnp.add, grad_sum, grads)
+        return (params, new_stats, grad_sum, loss_sum + loss, rng), None
+
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
+                   rng: jax.Array):
+        if grad_accum > 1:
+            micro = jax.tree_util.tree_map(
+                lambda x: x.reshape((grad_accum, x.shape[0] // grad_accum)
+                                    + x.shape[1:]), batch)
+            zero_grads = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            (_, new_stats, grad_sum, loss_sum, _), _ = jax.lax.scan(
+                one_microbatch,
+                (state.params, state.batch_stats, zero_grads, 0.0, rng),
+                micro)
+            grads = jax.tree_util.tree_map(lambda g: g / grad_accum, grad_sum)
+            loss = loss_sum / grad_accum
+        else:
+            (loss, (new_stats, _, _)), grads = grad_fn(
+                state.params, state.batch_stats, batch, rng, True)
+
+        finite = jnp.isfinite(loss)
+        safe_grads = jax.tree_util.tree_map(
+            lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads)
+        updates, new_opt_state = optimizer.update(
+            safe_grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+
+        def keep_if_finite(new, old):
+            return jax.tree_util.tree_map(
+                lambda n, o: jnp.where(finite, n, o), new, old)
+
+        state = state.replace(
+            params=keep_if_finite(new_params, state.params),
+            batch_stats=keep_if_finite(new_stats, state.batch_stats),
+            opt_state=keep_if_finite(new_opt_state, state.opt_state),
+            step=state.step + 1,
+            skipped_steps=state.skipped_steps
+            + jnp.where(finite, 0, 1).astype(jnp.int32),
+        )
+        metrics = {"loss": loss,
+                   "grad_norm": optax.global_norm(safe_grads)}
+        if lr_schedule is not None:
+            metrics["lr"] = lr_schedule(state.step)
+        return state, metrics
+
+    return train_step
+
+
+def make_eval_step(cfg: ModelConfig):
+    """eval_step(variables, batch) -> dict with loss, greedy preds, lengths."""
+    loss_fn = make_loss_fn(cfg, use_specaug=False)
+    blank = cfg.num_classes
+
+    def eval_step(params, batch_stats, batch):
+        loss, (_, log_probs, enc_lens) = loss_fn(
+            params, batch_stats, batch, jax.random.PRNGKey(0), False)
+        preds, keep = greedy_decode(log_probs, enc_lens, blank=blank)
+        return {"loss": loss, "preds": preds, "keep": keep,
+                "enc_lens": enc_lens}
+
+    return eval_step
+
+
+@dataclasses.dataclass
+class Trainer:
+    """Epoch/step driver with callbacks, eval and checkpointing.
+
+    Replaces the reference's PtActions.train epoch loop + callback dispatch
+    (actions.py:1294-1416, nemo/core/callbacks.py). Callbacks are plain
+    callables: fn(trainer, metrics_dict) invoked every `log_every` steps.
+    """
+
+    cfg: ModelConfig
+    optimizer: optax.GradientTransformation
+    grad_accum: int = 1
+    use_specaug: bool = True
+    lr_schedule: Optional[Callable] = None
+    log_every: int = 10
+    eval_every: int = 0
+    checkpoint_manager: Optional[object] = None
+    checkpoint_every: int = 0
+    seed: int = 0
+
+    def __post_init__(self):
+        self._train_step = jax.jit(make_train_step(
+            self.cfg, self.optimizer, grad_accum=self.grad_accum,
+            use_specaug=self.use_specaug, lr_schedule=self.lr_schedule))
+        self._eval_step = jax.jit(make_eval_step(self.cfg))
+        self.callbacks = []
+        self.history = []
+
+    def fit(self, state: TrainState, batcher: Iterable, *,
+            num_epochs: int = 1, eval_batcher: Optional[Iterable] = None
+            ) -> TrainState:
+        rng = jax.random.PRNGKey(self.seed)
+        for epoch in range(num_epochs):
+            t_epoch = time.time()
+            for batch in batcher:
+                rng, step_rng = jax.random.split(rng)
+                t0 = time.time()
+                state, metrics = self._train_step(
+                    state, batch_to_arrays(batch), step_rng)
+                step = int(state.step)
+                if self.log_every and step % self.log_every == 0:
+                    m = {k: float(v) for k, v in metrics.items()}
+                    m.update(step=step, epoch=epoch,
+                             step_time=time.time() - t0)
+                    self.history.append(m)
+                    for cb in self.callbacks:
+                        cb(self, m)
+                if (self.eval_every and eval_batcher is not None
+                        and step % self.eval_every == 0):
+                    self.evaluate(state, eval_batcher)
+                if (self.checkpoint_manager is not None
+                        and self.checkpoint_every
+                        and step % self.checkpoint_every == 0):
+                    self.checkpoint_manager.save(state, step)
+            self.history.append({"epoch": epoch,
+                                 "epoch_time": time.time() - t_epoch})
+        return state
+
+    def evaluate(self, state: TrainState, batcher: Iterable) -> dict:
+        """Greedy-decode eval with corpus WER/CER (reference
+        process_evaluation_epoch, helpers.py:175-204)."""
+        labels = self.cfg.labels
+        hyps, refs, losses = [], [], []
+        for batch in batcher:
+            out = self._eval_step(state.params, state.batch_stats,
+                                  batch_to_arrays(batch))
+            losses.append(float(out["loss"]))
+            seqs = collapse_batch(np.asarray(out["preds"]),
+                                  np.asarray(out["keep"]))
+            for i, ids in enumerate(seqs):
+                if batch.signal_lens[i] == 0:
+                    continue
+                hyps.append(ids_to_text(ids, labels))
+                refs.append("".join(
+                    labels[t] for t in batch.tokens[i, : batch.token_lens[i]]))
+        result = {
+            "eval_loss": float(np.mean(losses)) if losses else float("nan"),
+            "wer": word_error_rate(hyps, refs),
+            "cer": word_error_rate(hyps, refs, use_cer=True),
+            "num_utts": len(hyps),
+        }
+        self.history.append(result)
+        return result
