@@ -1,0 +1,242 @@
+"""n-gram language model: ARPA reader + backoff scorer.
+
+This replaces the reference's KenLM dependency
+(/root/reference/nemo/collections/asr/beam_search_decoder.py:82-87 loads
+3/4/5-gram KenLM binaries; the binaries were stripped from this copy, so
+interoperability targets the ARPA text format every KenLM is built from).
+
+Two implementations share this module's ARPA parsing:
+- `NGramLM` — pure-Python backoff scorer, the correctness oracle.
+- the C++ scorer in native/ctc_beam.cc loads the same ARPA files for the
+  hot path (see vietasr_tpu.ops.beam_search).
+
+Also here: `char_lm_table` — densifies a char-level n-gram LM into lookup
+tables suitable for ON-DEVICE shallow fusion (the TPU-native path: a
+(V^{n-1}, V) table of fully-backed-off log-probs lives in HBM and beam
+search gathers rows per step; 91^2 x 91 fp32 for a 3-gram is ~3 MB).
+"""
+
+from __future__ import annotations
+
+import gzip
+import math
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+LOG10 = math.log(10.0)
+UNK = "<unk>"
+BOS = "<s>"
+EOS = "</s>"
+
+
+def _open(path: str):
+    if path.endswith(".gz"):
+        return gzip.open(path, "rt", encoding="utf-8")
+    return open(path, "r", encoding="utf-8")
+
+
+class NGramLM:
+    """Katz-backoff n-gram LM over an ARPA file.
+
+    Scores are natural-log (converted from ARPA log10). Scoring follows the
+    standard backoff recursion:
+        p(w | ctx) = p_exact(ctx + w)            if the n-gram exists
+                   = backoff(ctx) + p(w | ctx[1:]) otherwise
+    """
+
+    def __init__(self, path: str):
+        self.ngrams: Dict[Tuple[str, ...], Tuple[float, float]] = {}
+        self.order = 0
+        self.vocab: List[str] = []
+        self._parse(path)
+        self.has_unk = (UNK,) in self.ngrams
+
+    def _parse(self, path: str):
+        section = None
+        with _open(path) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                if line.startswith("\\") and "grams:" in line:
+                    section = int(line[1:].split("-")[0])
+                    self.order = max(self.order, section)
+                    continue
+                if line.startswith("\\") or line.startswith("ngram") \
+                        or line == "\\data\\":
+                    if line == "\\end\\":
+                        break
+                    continue
+                if section is None:
+                    continue
+                parts = line.split("\t")
+                if len(parts) < 2:
+                    parts = line.split()
+                    if len(parts) < section + 1:
+                        continue
+                    logp = float(parts[0])
+                    words = tuple(parts[1 : 1 + section])
+                    backoff = float(parts[1 + section]) \
+                        if len(parts) > 1 + section else 0.0
+                else:
+                    logp = float(parts[0])
+                    words = tuple(parts[1].split())
+                    backoff = float(parts[2]) if len(parts) > 2 else 0.0
+                self.ngrams[words] = (logp * LOG10, backoff * LOG10)
+                if section == 1:
+                    self.vocab.append(words[0])
+
+    def log_prob(self, word: str, context: Sequence[str] = ()) -> float:
+        """Natural-log p(word | context) with backoff; OOV gets <unk> score
+        or -inf-ish floor."""
+        context = tuple(context)[-(self.order - 1):] if self.order > 1 \
+            else ()
+        return self._score(context + (word,))
+
+    def _score(self, ngram: Tuple[str, ...]) -> float:
+        if ngram in self.ngrams:
+            return self.ngrams[ngram][0]
+        if len(ngram) == 1:
+            if self.has_unk:
+                return self.ngrams[(UNK,)][0]
+            return -1e30 / 2  # truly unknown token, no <unk> entry
+        # backoff
+        context = ngram[:-1]
+        bo = self.ngrams[context][1] if context in self.ngrams else 0.0
+        return bo + self._score(ngram[1:])
+
+    def score_sentence(self, words: Sequence[str], *, bos: bool = True,
+                       eos: bool = True) -> float:
+        """Sum of conditional log-probs (natural log)."""
+        context: Tuple[str, ...] = (BOS,) if bos else ()
+        total = 0.0
+        seq = list(words) + ([EOS] if eos else [])
+        for w in seq:
+            total += self.log_prob(w, context)
+            context = context + (w,)
+        return total
+
+
+# ---------------------------------------------------------------------------
+# training a small LM (so the framework is self-contained without kenlm's
+# lmplz — capability parity for "train an n-gram LM from Vietnamese text")
+
+
+def train_ngram_arpa(corpus_lines: Sequence[str], out_path: str, *,
+                     order: int = 3, discount: float = 0.5,
+                     char_level: bool = False) -> None:
+    """Estimate an absolute-discounting backoff LM and write ARPA.
+
+    Not Kneser-Ney-modified like lmplz, but a valid, well-formed ARPA model
+    usable by this framework AND by kenlm/pyctcdecode (format-compatible).
+    """
+    counts: List[Dict[Tuple[str, ...], int]] = [dict() for _ in range(order)]
+    for line in corpus_lines:
+        toks = list(line.strip()) if char_level else line.split()
+        if not toks:
+            continue
+        seq = [BOS] + toks + [EOS]
+        for n in range(1, order + 1):
+            for i in range(len(seq) - n + 1):
+                g = tuple(seq[i : i + n])
+                if n == 1 and g == (BOS,):
+                    continue    # ARPA convention: <s> has prob only as context
+                counts[n - 1][g] = counts[n - 1].get(g, 0) + 1
+
+    vocab = sorted({g[0] for g in counts[0]}) + [UNK, BOS]
+    probs: List[Dict[Tuple[str, ...], float]] = [dict() for _ in range(order)]
+    backoffs: List[Dict[Tuple[str, ...], float]] = [dict() for _ in range(order)]
+
+    total_uni = sum(counts[0].values())
+    n_types = len(counts[0]) + 1
+    for g, c in counts[0].items():
+        probs[0][g] = math.log10(max(c - discount, 1e-12) / total_uni)
+    probs[0][(UNK,)] = math.log10(discount * len(counts[0]) / total_uni
+                                  / n_types)
+    probs[0][(BOS,)] = -99.0     # convention: <s> never predicted
+
+    for n in range(2, order + 1):
+        ctx_totals: Dict[Tuple[str, ...], int] = {}
+        ctx_types: Dict[Tuple[str, ...], int] = {}
+        for g, c in counts[n - 1].items():
+            ctx = g[:-1]
+            ctx_totals[ctx] = ctx_totals.get(ctx, 0) + c
+            ctx_types[ctx] = ctx_types.get(ctx, 0) + 1
+        for g, c in counts[n - 1].items():
+            ctx = g[:-1]
+            probs[n - 1][g] = math.log10(
+                max(c - discount, 1e-12) / ctx_totals[ctx])
+        # backoff mass per context
+        for ctx, total in ctx_totals.items():
+            mass = discount * ctx_types[ctx] / total
+            # denominator: 1 - sum of lower-order probs of seen continuations
+            seen = [g[-1] for g in counts[n - 1] if g[:-1] == ctx]
+            lower = sum(10 ** probs[n - 2].get(tuple(ctx[1:]) + (w,),
+                                               probs[0].get((w,), -99))
+                        for w in seen) if n > 2 else \
+                sum(10 ** probs[0].get((w,), -99) for w in seen)
+            denom = max(1.0 - lower, 1e-12)
+            backoffs[n - 2][ctx] = math.log10(max(mass / denom, 1e-12))
+
+    with open(out_path, "w", encoding="utf-8") as f:
+        f.write("\\data\\\n")
+        for n in range(1, order + 1):
+            f.write(f"ngram {n}={len(probs[n-1])}\n")
+        f.write("\n")
+        for n in range(1, order + 1):
+            f.write(f"\\{n}-grams:\n")
+            for g in sorted(probs[n - 1]):
+                lp = probs[n - 1][g]
+                bo = backoffs[n - 1].get(g) if n < order else None
+                if bo is not None:
+                    f.write(f"{lp:.6f}\t{' '.join(g)}\t{bo:.6f}\n")
+                else:
+                    f.write(f"{lp:.6f}\t{' '.join(g)}\n")
+            f.write("\n")
+        f.write("\\end\\\n")
+
+
+# ---------------------------------------------------------------------------
+# dense char-LM tables for on-device fusion
+
+
+def char_lm_table(lm: NGramLM, labels: Sequence[str],
+                  space: str = " ") -> np.ndarray:
+    """Densify a CHAR-level n-gram LM into a (V+1)^(order-1) x V table of
+    conditional natural-log-probs with all backoff applied.
+
+    Row index encodes the char context (base V+1 with 0 = no-char/BOS pad);
+    column j = log p(labels[j] | context). The result is a plain array a
+    Pallas/XLA beam-search kernel gathers from — no host round-trips.
+    """
+    v = len(labels)
+    n_ctx = lm.order - 1
+    rows = (v + 1) ** n_ctx
+    table = np.zeros((rows, v), np.float32)
+    # enumerate contexts in base (V+1): digit 0 = empty, digit k = labels[k-1]
+    for row in range(rows):
+        digits = []
+        r = row
+        for _ in range(n_ctx):
+            digits.append(r % (v + 1))
+            r //= (v + 1)
+        digits.reverse()            # most-recent char is the LAST digit
+        context = tuple(labels[d - 1] if d > 0 else BOS for d in digits)
+        # drop leading BOS padding except one
+        ctx: Tuple[str, ...] = tuple(w for w in context if w != BOS)
+        if len(ctx) < len(context):
+            ctx = (BOS,) + ctx if context[0] == BOS and row < (v + 1) ** n_ctx else ctx
+        for j, ch in enumerate(labels):
+            table[row, j] = lm.log_prob(ch if ch != space else space, ctx)
+    return table
+
+
+def context_row_index(context_ids: Sequence[int], v: int, n_ctx: int) -> int:
+    """Row index for char_lm_table given the last n_ctx label ids (-1 pad)."""
+    row = 0
+    padded = [-1] * max(n_ctx - len(context_ids), 0) + \
+        list(context_ids)[-n_ctx:]
+    for d in padded:
+        row = row * (v + 1) + (d + 1)
+    return row
