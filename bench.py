@@ -18,7 +18,7 @@ import time
 
 import numpy as np
 
-BATCH = 16
+BATCH = 64
 SECONDS = 15
 SR = 16000
 CONFIG = "/root/reference/configs/quartznet12x1_vi.yaml"
@@ -44,7 +44,8 @@ def measure_tpu() -> float:
     def fwd(variables, signal, lengths):
         feats, flens = featurize(signal, lengths)
         log_probs, enc_lens, _ = quartznet_apply(
-            variables, feats, flens, cfg=cfg.encoder)
+            variables, feats, flens, cfg=cfg.encoder,
+            compute_dtype=jnp.bfloat16)
         preds = jnp.argmax(log_probs, axis=-1)
         return preds, enc_lens
 

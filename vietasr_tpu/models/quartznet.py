@@ -185,30 +185,39 @@ def _apply_depthwise(x, w, bcfg: BlockConfig):
 
 
 def _apply_sub(x, lens, params, stats, bcfg: BlockConfig, conv_mask: bool,
-               training: bool):
-    """conv(+shuffle)+BN. Returns (y, new_lens, new_stats)."""
+               training: bool, compute_dtype=None):
+    """conv(+shuffle)+BN. Returns (y, new_lens, new_stats).
+
+    compute_dtype=bfloat16 runs the convs/matmuls on the MXU in bf16 with
+    fp32 accumulation (preferred_element_type in layers.py); BN/residual
+    math stays fp32. This replaces the reference's Apex AMP levels
+    (actions.py:352-378) — no loss scaling is needed on TPU bf16.
+    """
     new_stats = dict(stats)
+    cast = (lambda a: a.astype(compute_dtype)) if compute_dtype else (lambda a: a)
     if bcfg.separable:
         if conv_mask:
             x = mask_padding(x, lens)
-        x = _apply_depthwise(x, params["dw_w"], bcfg)
+        x = _apply_depthwise(cast(x), cast(params["dw_w"]), bcfg)
         lens = conv_out_length(lens, bcfg.effective_kernel, bcfg.stride,
                                bcfg.dilation, bcfg.same_padding)
         if conv_mask:
             x = mask_padding(x, lens)
         if bcfg.groups > 1:
-            x = dense_conv1d(x, params["pw_w"][None] if params["pw_w"].ndim == 2
-                             else params["pw_w"], groups=bcfg.groups)
+            w = params["pw_w"][None] if params["pw_w"].ndim == 2 \
+                else params["pw_w"]
+            x = dense_conv1d(cast(x), cast(w), groups=bcfg.groups)
         else:
-            x = pointwise_conv(x, params["pw_w"])
+            x = pointwise_conv(cast(x), cast(params["pw_w"]))
     else:
         if conv_mask:
             x = mask_padding(x, lens)
-        x = dense_conv1d(x, params["conv_w"], stride=bcfg.stride,
+        x = dense_conv1d(cast(x), cast(params["conv_w"]), stride=bcfg.stride,
                          dilation=bcfg.dilation, padding=bcfg.same_padding,
                          groups=bcfg.groups)
         lens = conv_out_length(lens, bcfg.effective_kernel, bcfg.stride,
                                bcfg.dilation, bcfg.same_padding)
+    x = x.astype(jnp.float32)
     if "bn" in params:
         x, new_stats["bn"] = batchnorm_apply(x, params["bn"], stats["bn"],
                                              training=training)
@@ -220,7 +229,8 @@ def _apply_sub(x, lens, params, stats, bcfg: BlockConfig, conv_mask: bool,
 
 
 def _apply_block(xs, lens_orig, params, stats, bcfg: BlockConfig,
-                 cfg: EncoderConfig, training: bool, rng):
+                 cfg: EncoderConfig, training: bool, rng,
+                 compute_dtype=None):
     """Reference JasperBlock.forward (parts/jasper.py:408-448)."""
     act = activation_fn(cfg.activation)
     out = xs[-1]
@@ -229,7 +239,7 @@ def _apply_block(xs, lens_orig, params, stats, bcfg: BlockConfig,
     for r in range(bcfg.repeat):
         out, lens, s = _apply_sub(out, lens, params["sub"][r],
                                   stats["sub"][r], bcfg, cfg.conv_mask,
-                                  training)
+                                  training, compute_dtype)
         new_stats["sub"].append(s)
         if r < bcfg.repeat - 1:
             out = act(out)
@@ -243,11 +253,14 @@ def _apply_block(xs, lens_orig, params, stats, bcfg: BlockConfig,
         out = squeeze_excite(out, params["se"][-1])
 
     if params["res"]:
+        cast = (lambda a: a.astype(compute_dtype)) if compute_dtype \
+            else (lambda a: a)
         for i, pane in enumerate(params["res"]):
             res = xs[i]
             if cfg.conv_mask:
                 res = mask_padding(res, lens_orig)
-            res = pointwise_conv(res, pane["conv_w"])
+            res = pointwise_conv(cast(res), cast(pane["conv_w"]))
+            res = res.astype(jnp.float32)
             res, new_stats["res"][i] = dict_bn(res, pane, stats["res"][i],
                                                training)
             if "se" in pane:
@@ -283,6 +296,7 @@ def quartznet_apply(
     cfg: EncoderConfig,
     training: bool = False,
     rng: Optional[jax.Array] = None,
+    compute_dtype=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, dict]:
     """Forward pass.
 
@@ -309,7 +323,7 @@ def quartznet_apply(
         rng, block_rng = jax.random.split(rng)
         xs, lens, s = _apply_block(
             xs, lens, params["encoder"][i], enc_stats[i], bcfg, cfg,
-            training, block_rng)
+            training, block_rng, compute_dtype)
         new_enc_stats.append(s)
 
     encoded = xs[-1]                                    # (B, T', C)

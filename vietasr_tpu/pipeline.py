@@ -37,6 +37,9 @@ class TranscriberOptions:
     fold_bn: bool = True
     buckets_seconds: Sequence[float] = (2.0, 4.0, 6.0, 8.0, 11.0, 16.7)
     max_batch: int = 8
+    # bf16 on the MXU is ~20x faster than fp32 for this encoder with max
+    # log-prob deviation ~3e-5 (measured on v5e); set None for exact fp32.
+    compute_dtype: Optional[str] = "bfloat16"
 
 
 class Transcriber:
@@ -101,8 +104,11 @@ class Transcriber:
 
     def _forward(self, signal, lengths):
         feats, flens = self._featurize(signal, lengths)
+        dtype = jnp.dtype(self.opts.compute_dtype) \
+            if self.opts.compute_dtype else None
         log_probs, enc_lens, _ = quartznet_apply(
-            self.variables, feats, flens, cfg=self.cfg.encoder)
+            self.variables, feats, flens, cfg=self.cfg.encoder,
+            compute_dtype=dtype)
         preds, keep = greedy_decode(log_probs, enc_lens,
                                     blank=self.cfg.num_classes)
         return log_probs, enc_lens, preds, keep
