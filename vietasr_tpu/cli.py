@@ -150,6 +150,22 @@ def cmd_train(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    from vietasr_tpu.pipeline import Transcriber, TranscriberOptions
+    from vietasr_tpu.serve import serve
+
+    opts = TranscriberOptions(
+        beam_width=args.beam_width, lm_path=args.lm_path,
+        lm_alpha=args.lm_alpha, lm_beta=args.lm_beta)
+    variables = _load_msgpack_variables(args) if args.checkpoint_dir else None
+    t = Transcriber(args.config,
+                    encoder_checkpoint=args.encoder_checkpoint,
+                    decoder_checkpoint=args.decoder_checkpoint,
+                    variables=variables, options=opts)
+    serve(t, host=args.host, port=args.port, record_dir=args.record_dir)
+    return 0
+
+
 def cmd_eval(args) -> int:
     import jax
 
@@ -220,6 +236,19 @@ def main(argv=None) -> int:
     p.add_argument("--checkpoint-every", type=int, default=500)
     p.add_argument("--keep-checkpoints", type=int, default=4)
     p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("serve", help="web demo: upload + mic websocket "
+                                     "(reference app.py equivalent)")
+    _add_common_model_args(p)
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=5000)
+    p.add_argument("--record-dir", default=None,
+                   help="save received audio here (reference static/record)")
+    p.add_argument("--beam-width", type=int, default=50)
+    p.add_argument("--lm-path")
+    p.add_argument("--lm-alpha", type=float, default=0.5)
+    p.add_argument("--lm-beta", type=float, default=1.5)
+    p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("eval", help="WER/CER over a labelled manifest")
     _add_common_model_args(p)

@@ -168,7 +168,20 @@ class Transcriber:
                 out[gi] = texts[row]
         return out  # type: ignore
 
+    def transcribe_long(self, signal: np.ndarray, *,
+                        chunk_seconds: float = 15.0,
+                        overlap_seconds: float = 2.0) -> str:
+        """Arbitrary-length audio via chunked streaming (the reference skips
+        files > 10 s instead, infer.py:201-203)."""
+        from vietasr_tpu.streaming import transcribe_long
+
+        return transcribe_long(self, signal, chunk_seconds=chunk_seconds,
+                               overlap_seconds=overlap_seconds)
+
     def transcribe_file(self, path: str) -> str:
         samples, _ = read_audio(
             path, target_sr=self.cfg.featurizer.sample_rate)
+        max_bucket = self.buckets[-1]
+        if len(samples) > max_bucket:
+            return self.transcribe_long(samples)
         return self.transcribe(samples)

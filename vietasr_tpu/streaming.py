@@ -1,0 +1,116 @@
+"""Long-form audio: chunked streaming inference with receptive-field overlap.
+
+The reference simply refuses long audio (skips files > 10 s,
+/root/reference/infer.py:201-203; trains only on <= 16.7 s clips). Because
+QuartzNet is fully convolutional, chunking with overlap equal to the
+receptive field is exact up to normalization (SURVEY.md §5.7): we split the
+waveform into fixed chunks, run the normal (bucketed, static-shape) forward
+on each, drop the overlap margins in encoder-frame space, concatenate the
+log-probs, and decode once.
+
+Deviation (documented): per-feature normalization becomes chunk-local
+instead of utterance-global (the reference normalizes over the whole
+utterance, parts/features.py:17-30). With >= 1-2 s of context per chunk the
+stats are stable; tests quantify the effect.
+
+`receptive_field_frames` computes the model's true receptive field from the
+config so callers can pick an exact overlap if they want bit-stability.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+from vietasr_tpu.config import EncoderConfig
+
+
+def receptive_field_frames(cfg: EncoderConfig) -> int:
+    """Receptive field of the encoder in INPUT (mel-frame) units:
+    rf += (k-1) * dilation * jump per conv; jump *= stride."""
+    rf, jump = 1, 1
+    for b in cfg.blocks:
+        k = b.effective_kernel
+        for _ in range(b.repeat):
+            rf += (k - 1) * b.dilation * jump
+            jump *= b.stride
+    return rf
+
+
+def encoder_stride(cfg: EncoderConfig) -> int:
+    s = 1
+    for b in cfg.blocks:
+        s *= b.stride ** b.repeat
+    return s
+
+
+def chunk_spans(n_samples: int, chunk: int, overlap: int
+                ) -> List[Tuple[int, int, int, int]]:
+    """Split [0, n_samples) into overlapping chunks.
+
+    Returns (start, stop, keep_from, keep_to) per chunk, where keep_* are
+    sample offsets WITHIN the chunk whose outputs are retained (the stitch
+    points sit mid-overlap).
+    """
+    if n_samples <= chunk:
+        return [(0, n_samples, 0, n_samples)]
+    step = chunk - 2 * overlap
+    if step <= 0:
+        raise ValueError("overlap too large for chunk size")
+    spans = []
+    start = 0
+    while True:
+        stop = min(start + chunk, n_samples)
+        keep_from = 0 if start == 0 else overlap
+        keep_to = stop - start if stop == n_samples else chunk - overlap
+        spans.append((start, stop, keep_from, keep_to))
+        if stop == n_samples:
+            break
+        start += step
+    return spans
+
+
+def transcribe_long(
+    transcriber,
+    signal: np.ndarray,
+    *,
+    chunk_seconds: float = 15.0,
+    overlap_seconds: float = 2.0,
+) -> str:
+    """Chunked long-form transcription through a Transcriber."""
+    log_probs, total = long_form_log_probs(
+        transcriber, signal, chunk_seconds=chunk_seconds,
+        overlap_seconds=overlap_seconds)
+    if transcriber._decoder is not None:
+        return transcriber._decoder.decode(log_probs[:total])
+    from vietasr_tpu.ops.greedy import ctc_collapse, ids_to_text
+
+    ids = ctc_collapse(np.argmax(log_probs[:total], axis=-1),
+                       blank=transcriber.cfg.num_classes)
+    return ids_to_text(ids, transcriber.cfg.labels)
+
+
+def long_form_log_probs(transcriber, signal: np.ndarray, *,
+                        chunk_seconds: float, overlap_seconds: float
+                        ) -> Tuple[np.ndarray, int]:
+    """Stitched (T_total, V) log-probs for arbitrarily long audio."""
+    sr = transcriber.cfg.featurizer.sample_rate
+    hop = transcriber.cfg.featurizer.hop_length
+    enc_stride = encoder_stride(transcriber.cfg.encoder)
+    chunk = int(chunk_seconds * sr)
+    overlap = int(overlap_seconds * sr)
+    spans = chunk_spans(len(signal), chunk, overlap)
+
+    pieces = []
+    for start, stop, keep_from, keep_to in spans:
+        lp, enc_lens = transcriber.log_probs(signal[start:stop])
+        n_valid = int(enc_lens[0])
+        # sample offsets -> encoder frames: ceil(x / hop) / enc_stride
+        f_from = int(math.ceil(keep_from / hop / enc_stride))
+        f_to = min(n_valid,
+                   int(math.ceil(keep_to / hop / enc_stride)))
+        pieces.append(lp[0, f_from:f_to])
+    out = np.concatenate(pieces, axis=0)
+    return out, out.shape[0]
