@@ -1,0 +1,51 @@
+"""Typed environment-variable getters.
+
+Reference: nemo/utils/env_var_parsing.py:143-208 (get_envbool/int/float/
+list/dict with coercion + RequiredSettingMissing).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, List
+
+
+class RequiredSettingMissing(Exception):
+    def __init__(self, key: str):
+        super().__init__(f"required env var {key!r} is missing")
+
+
+_MISSING = object()
+
+
+def get_env(key: str, *default: Any, coerce=lambda x: x) -> Any:
+    if key not in os.environ:
+        if default:
+            return default[0]
+        raise RequiredSettingMissing(key)
+    return coerce(os.environ[key])
+
+
+def _bool(value: str) -> bool:
+    return value.strip().lower() in ("true", "1", "y", "yes", "on")
+
+
+def get_envbool(key: str, *default) -> bool:
+    return get_env(key, *default, coerce=_bool)
+
+
+def get_envint(key: str, *default) -> int:
+    return get_env(key, *default, coerce=int)
+
+
+def get_envfloat(key: str, *default) -> float:
+    return get_env(key, *default, coerce=float)
+
+
+def get_envlist(key: str, *default, separator: str = " ") -> List[str]:
+    return get_env(key, *default, coerce=lambda x: x.split(separator))
+
+
+def get_envdict(key: str, *default) -> dict:
+    return get_env(key, *default, coerce=json.loads)
