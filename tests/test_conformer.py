@@ -1,0 +1,120 @@
+"""Conformer-CTC tests: relative-shift correctness, forward shapes/lengths,
+bf16 path, YAML dispatch, and synthetic-task training convergence."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vietasr_tpu.config import ConformerConfig, load_config
+from vietasr_tpu.models import model_apply, model_init
+from vietasr_tpu.models.conformer import (_rel_pos_encoding, _rel_shift,
+                                          conformer_apply, init_conformer)
+
+CONFIG = "/root/repo/configs/conformer_ctc_vi.yaml"
+
+
+def test_rel_shift_matches_gather():
+    rng = np.random.RandomState(0)
+    b, h, t = 2, 3, 7
+    x = rng.randn(b, h, t, 2 * t - 1).astype(np.float32)
+    got = np.asarray(_rel_shift(jnp.asarray(x)))
+    # want[b,h,i,j] = x[b,h,i, (t-1) - i + j]  (offset r = i - j at index
+    # l = t-1-r in the [t-1 ... -(t-1)] offset ordering)
+    want = np.empty((b, h, t, t), np.float32)
+    for i in range(t):
+        for j in range(t):
+            want[:, :, i, j] = x[:, :, i, (t - 1) - i + j]
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_rel_pos_encoding_shape():
+    enc = _rel_pos_encoding(5, 8)
+    assert enc.shape == (9, 8)
+    # offset 0 row: sin(0)=0, cos(0)=1
+    mid = enc[4]
+    np.testing.assert_allclose(mid[0::2], 0.0, atol=1e-7)
+    np.testing.assert_allclose(mid[1::2], 1.0, atol=1e-7)
+
+
+@pytest.fixture(scope="module")
+def tiny_cfg():
+    return ConformerConfig(num_blocks=2, d_model=32, num_heads=4,
+                           ff_expansion=2, conv_kernel=7,
+                           subsampling_channels=16, dropout=0.0)
+
+
+def test_conformer_forward_shapes(tiny_cfg):
+    variables = init_conformer(jax.random.PRNGKey(0), tiny_cfg, feat_in=64,
+                               num_classes=10)
+    feats = jnp.asarray(np.random.RandomState(0).randn(2, 64, 64)
+                        .astype(np.float32))
+    lens = jnp.array([64, 33], jnp.int32)
+    lp, out_lens, stats = conformer_apply(variables, feats, lens,
+                                          cfg=tiny_cfg)
+    assert lp.shape == (2, 16, 11)            # 4x subsampled, V+1
+    np.testing.assert_array_equal(np.asarray(out_lens), [16, 9])
+    s = np.exp(np.asarray(lp[0, 0])).sum()
+    assert abs(s - 1.0) < 1e-4
+    assert len(stats["blocks"]) == 2
+
+
+def test_conformer_bf16_close_to_fp32(tiny_cfg):
+    variables = init_conformer(jax.random.PRNGKey(1), tiny_cfg, feat_in=64,
+                               num_classes=10)
+    feats = jnp.asarray(np.random.RandomState(1).randn(1, 32, 64)
+                        .astype(np.float32))
+    lens = jnp.array([32], jnp.int32)
+    lp32, _, _ = conformer_apply(variables, feats, lens, cfg=tiny_cfg)
+    lp16, _, _ = conformer_apply(variables, feats, lens, cfg=tiny_cfg,
+                                 compute_dtype=jnp.bfloat16)
+    assert float(jnp.max(jnp.abs(lp32 - lp16))) < 0.15
+
+
+def test_yaml_dispatch_and_param_count():
+    cfg = load_config(CONFIG)
+    assert cfg.architecture == "conformer"
+    assert cfg.conformer.num_blocks == 16
+    variables = model_init(jax.random.PRNGKey(0), cfg)
+    n = sum(x.size for x in jax.tree_util.tree_leaves(variables["params"]))
+    assert 8e6 < n < 30e6, n        # small-conformer territory
+    feats = jnp.asarray(np.random.RandomState(0).randn(1, 64, 80)
+                        .astype(np.float32))
+    lp, lens, _ = model_apply(variables, feats, jnp.array([64], jnp.int32),
+                              cfg=cfg)
+    assert lp.shape[2] == 91
+
+
+def test_conformer_training_decreases_loss(tiny_cfg):
+    import dataclasses
+
+    from vietasr_tpu.config import (DataConfig, EncoderConfig, ModelConfig,
+                                    SpecAugmentConfig)
+    from vietasr_tpu.frontend.features import FeaturizerConfig
+    from vietasr_tpu.train import TrainState, make_optimizer, make_train_step
+    from vietasr_tpu.train.loop import batch_to_arrays
+
+    from test_train import SynthBatch
+
+    cfg = ModelConfig(
+        name="tiny-conf", labels=[" ", "a", "b", "c"],
+        featurizer=FeaturizerConfig(features=16, dither=0.0, pad_to=8),
+        encoder=EncoderConfig(blocks=(), feat_in=16),
+        spec_augment=SpecAugmentConfig(), data=DataConfig(),
+        architecture="conformer",
+        conformer=dataclasses.replace(tiny_cfg, subsampling_channels=8))
+    variables = model_init(jax.random.PRNGKey(0), cfg)
+    opt = make_optimizer("adamw", 3e-3, weight_decay=1e-4,
+                         grad_clip_norm=5.0)
+    state = TrainState.create(variables, opt)
+    step = jax.jit(make_train_step(cfg, opt, use_specaug=False))
+    batch = batch_to_arrays(SynthBatch(np.random.RandomState(0)))
+    losses = []
+    key = jax.random.PRNGKey(2)
+    for _ in range(25):
+        key, sub = jax.random.split(key)
+        state, m = step(state, batch, sub)
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] * 0.8, losses[::5]

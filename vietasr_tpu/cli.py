@@ -77,12 +77,11 @@ def _load_msgpack_variables(args):
     import jax
 
     from vietasr_tpu.config import load_config
-    from vietasr_tpu.models import init_quartznet
+    from vietasr_tpu.models import model_init
     from vietasr_tpu.train import CheckpointManager
 
     cfg = load_config(args.config)
-    template_vars = init_quartznet(jax.random.PRNGKey(0), cfg.encoder,
-                                   cfg.num_classes)
+    template_vars = model_init(jax.random.PRNGKey(0), cfg)
     variables = CheckpointManager(args.checkpoint_dir).restore_variables(
         template_vars)
     if variables is None:
@@ -97,7 +96,7 @@ def cmd_train(args) -> int:
     from vietasr_tpu.audio import (AudioTextDataset, BucketBatcher,
                                    CharTokenizer, read_manifest)
     from vietasr_tpu.config import load_config
-    from vietasr_tpu.models import init_quartznet
+    from vietasr_tpu.models import model_init
     from vietasr_tpu.train import (CheckpointManager, TrainState,
                                    Trainer, make_optimizer, make_schedule)
 
@@ -120,8 +119,7 @@ def cmd_train(args) -> int:
     opt = make_optimizer(args.optimizer, schedule,
                          weight_decay=args.weight_decay,
                          grad_clip_norm=args.grad_clip)
-    variables = init_quartznet(jax.random.PRNGKey(args.seed), cfg.encoder,
-                               cfg.num_classes)
+    variables = model_init(jax.random.PRNGKey(args.seed), cfg)
     state = TrainState.create(variables, opt)
 
     cm = CheckpointManager(args.work_dir, keep=args.keep_checkpoints)
@@ -172,7 +170,7 @@ def cmd_eval(args) -> int:
     from vietasr_tpu.audio import (AudioTextDataset, BucketBatcher,
                                    CharTokenizer, read_manifest)
     from vietasr_tpu.config import load_config
-    from vietasr_tpu.models import init_quartznet
+    from vietasr_tpu.models import model_init
     from vietasr_tpu.models.convert import variables_from_checkpoints
     from vietasr_tpu.train import TrainState, Trainer, make_optimizer
 
@@ -183,8 +181,7 @@ def cmd_eval(args) -> int:
     elif args.checkpoint_dir:
         variables = _load_msgpack_variables(args)
     else:
-        variables = init_quartznet(jax.random.PRNGKey(0), cfg.encoder,
-                                   cfg.num_classes)
+        variables = model_init(jax.random.PRNGKey(0), cfg)
     opt = make_optimizer("sgd", 0.0)
     state = TrainState.create(variables, opt)
     tok = CharTokenizer(cfg.labels)

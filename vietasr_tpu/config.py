@@ -79,6 +79,26 @@ class EncoderConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class ConformerConfig:
+    """Conformer encoder (models/conformer.py; YAML section
+    `ConformerEncoder`)."""
+
+    num_blocks: int = 16
+    d_model: int = 176
+    num_heads: int = 4
+    ff_expansion: int = 4
+    conv_kernel: int = 31
+    dropout: float = 0.1
+    subsampling_factor: int = 4       # conv2d subsampling, stride 2 per stage
+    subsampling_channels: int = 176
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "ConformerConfig":
+        known = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in known})
+
+
+@dataclasses.dataclass(frozen=True)
 class SpecAugmentConfig:
     """Reference SpectrogramAugmentation kwargs
     (nemo/collections/asr/audio_preprocessing.py:522-608)."""
@@ -121,6 +141,8 @@ class ModelConfig:
     encoder: EncoderConfig
     spec_augment: SpecAugmentConfig
     data: DataConfig
+    architecture: str = "quartznet"            # "quartznet" | "conformer"
+    conformer: Optional[ConformerConfig] = None
 
     @property
     def num_classes(self) -> int:
@@ -152,6 +174,11 @@ def config_from_dict(raw: dict) -> ModelConfig:
         normalization_mode=enc_raw.get("normalization_mode", "batch"),
         init_mode=enc_raw.get("init_mode", "xavier_uniform"),
     )
+    conformer = None
+    architecture = "quartznet"
+    if "ConformerEncoder" in raw:
+        conformer = ConformerConfig.from_dict(raw["ConformerEncoder"])
+        architecture = "conformer"
     return ModelConfig(
         name=raw.get("model", "model"),
         labels=list(raw.get("labels", [])),
@@ -161,4 +188,6 @@ def config_from_dict(raw: dict) -> ModelConfig:
             raw.get("SpectrogramAugmentation", {})
         ),
         data=DataConfig.from_dict(raw.get("AudioToTextDataLayer", {})),
+        architecture=architecture,
+        conformer=conformer,
     )

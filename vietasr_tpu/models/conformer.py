@@ -1,0 +1,285 @@
+"""Conformer-CTC encoder (arXiv:2005.08100) — the upgrade model family.
+
+The reference never built its Conformer (README TODO, README.md:68-71); its
+vendored transformer blocks (nemo/collections/nlp/.../transformer_modules.py
+:39-274) are plain MHA. This is a from-scratch TPU-first Conformer sharing
+the frontend/CTC/train stack:
+
+- macaron FFN halves, MHSA with Transformer-XL relative position encoding,
+  conv module (pointwise-GLU -> masked depthwise -> BN -> swish ->
+  pointwise), all pre-norm; conv2d subsampling (4x) in NHWC.
+- everything is (B, T, D) channels-last; matmuls hit the MXU; attention is
+  masked with a static-shape additive mask (no dynamic shapes).
+- `compute_dtype=bfloat16` runs matmuls/convs in bf16 with fp32 accumulation.
+- For models beyond one chip's HBM, shard the FFN/attention weights over the
+  reserved 'model' mesh axis (see parallel/mesh.py); this 10-30M config
+  replicates.
+
+Variables follow the same {"params", "batch_stats"} convention as QuartzNet
+so TrainState/checkpointing work unchanged.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vietasr_tpu.models.layers import (BN_EPS, batchnorm_apply, dropout,
+                                       init_batchnorm, length_mask,
+                                       xavier_uniform)
+
+
+from vietasr_tpu.config import ConformerConfig  # noqa: E402 (re-export)
+
+
+def _linear_init(rng, fan_in, fan_out):
+    w_rng, b_rng = jax.random.split(rng)
+    bound = fan_in ** -0.5
+    return {
+        "w": xavier_uniform(w_rng, (fan_in, fan_out), fan_in, fan_out),
+        "b": jax.random.uniform(b_rng, (fan_out,), jnp.float32,
+                                -bound, bound),
+    }
+
+
+def _linear(x, p, cast):
+    y = jnp.einsum("...i,io->...o", cast(x), cast(p["w"]),
+                   preferred_element_type=jnp.float32)
+    return y + p["b"]
+
+
+def _layernorm_init(d):
+    return {"scale": jnp.ones((d,), jnp.float32),
+            "bias": jnp.zeros((d,), jnp.float32)}
+
+
+def _layernorm(x, p, eps=1e-5):
+    m = jnp.mean(x, axis=-1, keepdims=True)
+    v = jnp.mean((x - m) ** 2, axis=-1, keepdims=True)
+    return (x - m) * jax.lax.rsqrt(v + eps) * p["scale"] + p["bias"]
+
+
+def _swish(x):
+    return x * jax.nn.sigmoid(x)
+
+
+# ---------------------------------------------------------------------------
+# init
+
+
+def _init_block(rng, cfg: ConformerConfig):
+    d, h = cfg.d_model, cfg.num_heads
+    ff = cfg.ff_expansion * d
+    keys = iter(jax.random.split(rng, 16))
+    bn_p, bn_s = init_batchnorm(d)
+    params = {
+        "ff1": {"ln": _layernorm_init(d),
+                "in": _linear_init(next(keys), d, ff),
+                "out": _linear_init(next(keys), ff, d)},
+        "mhsa": {
+            "ln": _layernorm_init(d),
+            "q": _linear_init(next(keys), d, d),
+            "k": _linear_init(next(keys), d, d),
+            "v": _linear_init(next(keys), d, d),
+            "pos": {"w": xavier_uniform(next(keys), (d, d), d, d)},
+            "out": _linear_init(next(keys), d, d),
+            # Transformer-XL global content/position biases u, v
+            "u": jnp.zeros((h, d // h), jnp.float32),
+            "vb": jnp.zeros((h, d // h), jnp.float32),
+        },
+        "conv": {
+            "ln": _layernorm_init(d),
+            "pw1": _linear_init(next(keys), d, 2 * d),       # GLU
+            "dw": xavier_uniform(next(keys), (cfg.conv_kernel, d),
+                                 cfg.conv_kernel, d * cfg.conv_kernel),
+            "bn": bn_p,
+            "pw2": _linear_init(next(keys), d, d),
+        },
+        "ff2": {"ln": _layernorm_init(d),
+                "in": _linear_init(next(keys), d, ff),
+                "out": _linear_init(next(keys), ff, d)},
+        "final_ln": _layernorm_init(d),
+    }
+    return params, {"conv_bn": bn_s}
+
+
+def init_conformer(rng: jax.Array, cfg: ConformerConfig, feat_in: int,
+                   num_classes: int) -> dict:
+    keys = iter(jax.random.split(rng, cfg.num_blocks + 8))
+    c = cfg.subsampling_channels
+    params: dict = {
+        # conv2d subsampling weights in HWIO
+        "sub1": {"w": xavier_uniform(next(keys), (3, 3, 1, c), 9, 9 * c),
+                 "b": jnp.zeros((c,), jnp.float32)},
+        "sub2": {"w": xavier_uniform(next(keys), (3, 3, c, c), 9 * c, 9 * c),
+                 "b": jnp.zeros((c,), jnp.float32)},
+        "proj": _linear_init(next(keys), c * (feat_in // 4), cfg.d_model),
+        "blocks": [],
+        "decoder": _linear_init(next(keys), cfg.d_model, num_classes + 1),
+    }
+    stats = {"blocks": []}
+    for _ in range(cfg.num_blocks):
+        p, s = _init_block(next(keys), cfg)
+        params["blocks"].append(p)
+        stats["blocks"].append(s)
+    return {"params": params, "batch_stats": stats}
+
+
+# ---------------------------------------------------------------------------
+# relative-position MHSA
+
+
+def _rel_pos_encoding(t: int, d: int) -> np.ndarray:
+    """Sinusoidal encodings for relative offsets [t-1 ... -(t-1)],
+    shape (2t-1, d)."""
+    pos = np.arange(t - 1, -t, -1, dtype=np.float64)[:, None]
+    div = np.exp(np.arange(0, d, 2, dtype=np.float64)
+                 * (-np.log(10000.0) / d))
+    enc = np.zeros((2 * t - 1, d))
+    enc[:, 0::2] = np.sin(pos * div)
+    enc[:, 1::2] = np.cos(pos * div)
+    return enc.astype(np.float32)
+
+
+def _rel_shift(x):
+    """(B, H, T, 2T-1) -> (B, H, T, T): out[i, j] = x[i, (T-1) - i + j],
+    i.e. entry [i, j] reads relative offset i - j in the [T-1 ... -(T-1)]
+    ordering (Transformer-XL shift trick: pad one column, flatten, skip
+    T-1, re-stride by 2T-1)."""
+    b, h, t, _ = x.shape
+    x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, 1)))     # (B, H, T, 2T)
+    flat = x.reshape(b, h, 2 * t * t)
+    flat = flat[:, :, t - 1 : t - 1 + t * (2 * t - 1)]
+    return flat.reshape(b, h, t, 2 * t - 1)[:, :, :, :t]
+
+
+def _mhsa(x, params, mask, cfg: ConformerConfig, pos_enc, cast):
+    b, t, d = x.shape
+    h = cfg.num_heads
+    dh = d // h
+
+    q = _linear(x, params["q"], cast).reshape(b, t, h, dh)
+    k = _linear(x, params["k"], cast).reshape(b, t, h, dh)
+    v = _linear(x, params["v"], cast).reshape(b, t, h, dh)
+    # position keys: (2T-1, D) -> (2T-1, H, dh)
+    p = jnp.einsum("ld,de->le", cast(pos_enc), cast(params["pos"]["w"]),
+                   preferred_element_type=jnp.float32).reshape(-1, h, dh)
+
+    qu = q + params["u"][None, None]
+    qv = q + params["vb"][None, None]
+    content = jnp.einsum("bthe,bshe->bhts", cast(qu), cast(k),
+                         preferred_element_type=jnp.float32)
+    position = jnp.einsum("bthe,lhe->bhtl", cast(qv), cast(p),
+                          preferred_element_type=jnp.float32)
+    position = _rel_shift(position)
+
+    scores = (content + position) / jnp.sqrt(jnp.asarray(dh, jnp.float32))
+    scores = jnp.where(mask[:, None, None, :], scores, -1e30)
+    attn = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhts,bshe->bthe", cast(attn), cast(v),
+                     preferred_element_type=jnp.float32)
+    return _linear(out.reshape(b, t, d), params["out"], cast)
+
+
+# ---------------------------------------------------------------------------
+# conv module
+
+
+def _conv_module(x, params, stats, lens, training, cast):
+    y = _layernorm(x, params["ln"])
+    y = _linear(y, params["pw1"], cast)                   # (B, T, 2D)
+    a, g = jnp.split(y, 2, axis=-1)
+    y = a * jax.nn.sigmoid(g)                             # GLU
+    y = y * length_mask(y.shape[1], lens, y.dtype)        # mask before conv
+    k, d = params["dw"].shape
+    y = jax.lax.conv_general_dilated(
+        cast(y), cast(params["dw"].reshape(k, 1, d)),
+        window_strides=(1,), padding=[(k // 2, k // 2)],
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        feature_group_count=d).astype(jnp.float32)
+    y, new_bn = batchnorm_apply(y, params["bn"], stats["conv_bn"],
+                                training=training)
+    y = _swish(y)
+    y = _linear(y, params["pw2"], cast)
+    return y, {"conv_bn": new_bn}
+
+
+def _ffn(x, params, rate, rng, training, cast):
+    y = _layernorm(x, params["ln"])
+    y = _swish(_linear(y, params["in"], cast))
+    y = dropout(y, rate, rng, training)
+    return _linear(y, params["out"], cast)
+
+
+# ---------------------------------------------------------------------------
+# forward
+
+
+def _subsample(x, lens, params, cast):
+    """Conv2d 4x subsampling: (B, T, F) -> (B, T/4, C*F/4)."""
+    b, t, f = x.shape
+    y = x[..., None]                                     # NHWC: (B, T, F, 1)
+    for name in ("sub1", "sub2"):
+        w = params[name]["w"]
+        y = jax.lax.conv_general_dilated(
+            cast(y), cast(w), window_strides=(2, 2),
+            padding=[(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC")
+        ).astype(jnp.float32) + params[name]["b"]
+        y = jnp.maximum(y, 0.0)
+        lens = (lens + 2 * 1 - 3) // 2 + 1               # k3 s2 p1
+    bt = y.shape[1]
+    y = y.reshape(b, bt, -1)
+    return y, lens
+
+
+def conformer_apply(
+    variables: dict,
+    feats: jnp.ndarray,
+    feat_lens: jnp.ndarray,
+    *,
+    cfg: ConformerConfig,
+    training: bool = False,
+    rng: Optional[jax.Array] = None,
+    compute_dtype=None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, dict]:
+    """feats (B, T, F) -> (log_probs (B, T', V+1), out_lens, new_stats)."""
+    params = variables["params"]
+    stats = variables["batch_stats"]
+    cast = (lambda a: a.astype(compute_dtype)) if compute_dtype \
+        else (lambda a: a)
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+
+    x, lens = _subsample(feats, feat_lens, params, cast)
+    x = _linear(x, params["proj"], cast)
+
+    t = x.shape[1]
+    pos_enc = jnp.asarray(_rel_pos_encoding(t, cfg.d_model))
+    mask = jnp.arange(t)[None, :] < lens[:, None]
+    x = x * mask[..., None]
+
+    new_stats = {"blocks": []}
+    rate = cfg.dropout
+    for bi, bp in enumerate(params["blocks"]):
+        rng, r1, r2, r3, r4 = jax.random.split(rng, 5)
+        x = x + 0.5 * dropout(_ffn(x, bp["ff1"], rate, r1, training, cast),
+                              rate, r1, training)
+        attn = _mhsa(_layernorm(x, bp["mhsa"]["ln"]), bp["mhsa"], mask,
+                     cfg, pos_enc, cast)
+        x = x + dropout(attn, rate, r2, training)
+        conv, s = _conv_module(x, bp["conv"], stats["blocks"][bi], lens,
+                               training, cast)
+        x = x + dropout(conv, rate, r3, training)
+        new_stats["blocks"].append(s)
+        x = x + 0.5 * dropout(_ffn(x, bp["ff2"], rate, r4, training, cast),
+                              rate, r4, training)
+        x = _layernorm(x, bp["final_ln"])
+
+    logits = _linear(x, params["decoder"], cast)
+    log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    return log_probs, lens.astype(jnp.int32), new_stats

@@ -23,8 +23,9 @@ import numpy as np
 from vietasr_tpu.audio.io import read_audio
 from vietasr_tpu.config import ModelConfig, load_config
 from vietasr_tpu.frontend.features import make_featurizer
+from vietasr_tpu.models import model_apply, model_init
 from vietasr_tpu.models.convert import variables_from_checkpoints
-from vietasr_tpu.models.quartznet import fold_batchnorm, init_quartznet, quartznet_apply
+from vietasr_tpu.models.quartznet import fold_batchnorm, init_quartznet
 from vietasr_tpu.ops.greedy import collapse_batch, greedy_decode, ids_to_text
 
 
@@ -66,9 +67,7 @@ class Transcriber:
                 variables = variables_from_checkpoints(
                     encoder_checkpoint, decoder_checkpoint, self.cfg.encoder)
             else:
-                variables = init_quartznet(
-                    jax.random.PRNGKey(0), self.cfg.encoder,
-                    self.cfg.num_classes)
+                variables = model_init(jax.random.PRNGKey(0), self.cfg)
                 # overlay whichever reference checkpoint was provided
                 from vietasr_tpu.models.convert import (
                     decoder_from_state_dict, encoder_from_state_dict,
@@ -83,7 +82,7 @@ class Transcriber:
                 if decoder_checkpoint:
                     variables["params"]["decoder"] = decoder_from_state_dict(
                         load_torch_state_dict(decoder_checkpoint))
-        if self.opts.fold_bn:
+        if self.opts.fold_bn and self.cfg.architecture == "quartznet":
             variables = fold_batchnorm(variables, self.cfg.encoder)
         self.variables = variables
 
@@ -106,8 +105,8 @@ class Transcriber:
         feats, flens = self._featurize(signal, lengths)
         dtype = jnp.dtype(self.opts.compute_dtype) \
             if self.opts.compute_dtype else None
-        log_probs, enc_lens, _ = quartznet_apply(
-            self.variables, feats, flens, cfg=self.cfg.encoder,
+        log_probs, enc_lens, _ = model_apply(
+            self.variables, feats, flens, cfg=self.cfg,
             compute_dtype=dtype)
         preds, keep = greedy_decode(log_probs, enc_lens,
                                     blank=self.cfg.num_classes)

@@ -30,7 +30,7 @@ import optax
 
 from vietasr_tpu.config import ModelConfig
 from vietasr_tpu.frontend.features import make_featurizer
-from vietasr_tpu.models.quartznet import quartznet_apply
+from vietasr_tpu.models import model_apply
 from vietasr_tpu.ops.ctc_loss import ctc_loss
 from vietasr_tpu.ops.greedy import collapse_batch, greedy_decode, ids_to_text
 from vietasr_tpu.ops.specaug import apply_spec_augment
@@ -58,8 +58,8 @@ def make_loss_fn(cfg: ModelConfig, *, use_specaug: bool = True):
                                  rng=r_dither, training=training)
         if training and use_specaug:
             feats = apply_spec_augment(r_aug, feats, cfg.spec_augment)
-        log_probs, enc_lens, new_stats = quartznet_apply(
-            variables, feats, flens, cfg=cfg.encoder, training=training,
+        log_probs, enc_lens, new_stats = model_apply(
+            variables, feats, flens, cfg=cfg, training=training,
             rng=r_drop)
         per_sample = ctc_loss(log_probs, batch["tokens"], enc_lens,
                               batch["token_lens"], blank=blank,
