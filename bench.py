@@ -18,7 +18,7 @@ import time
 
 import numpy as np
 
-BATCH = 64
+BATCH = 128
 SECONDS = 15
 SR = 16000
 CONFIG = "/root/reference/configs/quartznet12x1_vi.yaml"

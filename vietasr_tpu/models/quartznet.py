@@ -217,12 +217,14 @@ def _apply_sub(x, lens, params, stats, bcfg: BlockConfig, conv_mask: bool,
                          groups=bcfg.groups)
         lens = conv_out_length(lens, bcfg.effective_kernel, bcfg.stride,
                                bcfg.dilation, bcfg.same_padding)
-    x = x.astype(jnp.float32)
     if "bn" in params:
+        x = x.astype(jnp.float32)
         x, new_stats["bn"] = batchnorm_apply(x, params["bn"], stats["bn"],
                                              training=training)
-    else:  # folded-BN inference path
-        x = x + params["b"]
+    else:
+        # folded-BN inference: stay in compute_dtype end-to-end — activations
+        # never round-trip through fp32, halving HBM traffic
+        x = x + cast(params["b"])
     if bcfg.groups > 1:
         x = group_shuffle(x, bcfg.groups)
     return x, lens, new_stats
@@ -230,8 +232,25 @@ def _apply_sub(x, lens, params, stats, bcfg: BlockConfig, conv_mask: bool,
 
 def _apply_block(xs, lens_orig, params, stats, bcfg: BlockConfig,
                  cfg: EncoderConfig, training: bool, rng,
-                 compute_dtype=None):
+                 compute_dtype=None, use_pallas: bool = False):
     """Reference JasperBlock.forward (parts/jasper.py:408-448)."""
+    if use_pallas and not training and cfg.activation == "relu" \
+            and cfg.residual_mode == "add":
+        from vietasr_tpu.ops.pallas_blocks import (block_is_fusable,
+                                                   fused_separable_block)
+
+        if block_is_fusable(bcfg, params):
+            sub = params["sub"][0]
+            pane = params["res"][0]
+            x = xs[-1]
+            if cfg.conv_mask:
+                x = mask_padding(x, lens_orig)
+            out = fused_separable_block(
+                x.astype(compute_dtype or x.dtype), lens_orig,
+                sub["dw_w"], sub["pw_w"], sub["b"],
+                pane["conv_w"], pane["b"])
+            return [out], lens_orig, {"sub": [{}], "res": [{}]}
+
     act = activation_fn(cfg.activation)
     out = xs[-1]
     lens = lens_orig
@@ -260,9 +279,12 @@ def _apply_block(xs, lens_orig, params, stats, bcfg: BlockConfig,
             if cfg.conv_mask:
                 res = mask_padding(res, lens_orig)
             res = pointwise_conv(cast(res), cast(pane["conv_w"]))
-            res = res.astype(jnp.float32)
-            res, new_stats["res"][i] = dict_bn(res, pane, stats["res"][i],
-                                               training)
+            if "bn" in pane:
+                res = res.astype(jnp.float32)
+                res, new_stats["res"][i] = dict_bn(res, pane,
+                                                   stats["res"][i], training)
+            else:
+                res = res + cast(pane["b"])
             if "se" in pane:
                 res = squeeze_excite(res, pane["se"])
             if cfg.residual_mode == "add":
@@ -297,6 +319,7 @@ def quartznet_apply(
     training: bool = False,
     rng: Optional[jax.Array] = None,
     compute_dtype=None,
+    use_pallas: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, dict]:
     """Forward pass.
 
@@ -323,7 +346,7 @@ def quartznet_apply(
         rng, block_rng = jax.random.split(rng)
         xs, lens, s = _apply_block(
             xs, lens, params["encoder"][i], enc_stats[i], bcfg, cfg,
-            training, block_rng, compute_dtype)
+            training, block_rng, compute_dtype, use_pallas)
         new_enc_stats.append(s)
 
     encoded = xs[-1]                                    # (B, T', C)
