@@ -29,7 +29,8 @@ def cmd_transcribe(args) -> int:
 
     opts = TranscriberOptions(
         beam_width=args.beam_width, lm_path=args.lm_path,
-        lm_alpha=args.lm_alpha, lm_beta=args.lm_beta)
+        lm_alpha=args.lm_alpha, lm_beta=args.lm_beta,
+        decoder=args.decoder)
     variables = None
     if args.checkpoint_dir:
         variables = _load_msgpack_variables(args)
@@ -208,6 +209,10 @@ def main(argv=None) -> int:
     p.add_argument("--lm-path", help="ARPA/kenlm n-gram LM for beam search")
     p.add_argument("--lm-alpha", type=float, default=0.5)
     p.add_argument("--lm-beta", type=float, default=1.5)
+    p.add_argument("--decoder", default="greedy",
+                   choices=["greedy", "beam", "device_beam"],
+                   help="greedy | host C++ beam (+word LM) | on-device "
+                        "batched beam (+char-LM table)")
     p.add_argument("--max-duration", type=float, default=0.0,
                    help="skip files longer than this many seconds (0 = no "
                         "skip; the reference skips >10s, infer.py:201-203)")

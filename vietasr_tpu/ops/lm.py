@@ -28,6 +28,7 @@ LOG10 = math.log(10.0)
 UNK = "<unk>"
 BOS = "<s>"
 EOS = "</s>"
+SPACE_TOKEN = "<sp>"   # char-level LMs can't store a literal " " in ARPA
 
 
 def _open(path: str):
@@ -89,9 +90,11 @@ class NGramLM:
 
     def log_prob(self, word: str, context: Sequence[str] = ()) -> float:
         """Natural-log p(word | context) with backoff; OOV gets <unk> score
-        or -inf-ish floor."""
-        context = tuple(context)[-(self.order - 1):] if self.order > 1 \
-            else ()
+        or -inf-ish floor. A literal " " token aliases to <sp> (char LMs)."""
+        if word == " ":
+            word = SPACE_TOKEN
+        context = tuple(SPACE_TOKEN if w == " " else w for w in context)
+        context = context[-(self.order - 1):] if self.order > 1 else ()
         return self._score(context + (word,))
 
     def _score(self, ngram: Tuple[str, ...]) -> float:
@@ -133,7 +136,11 @@ def train_ngram_arpa(corpus_lines: Sequence[str], out_path: str, *,
     """
     counts: List[Dict[Tuple[str, ...], int]] = [dict() for _ in range(order)]
     for line in corpus_lines:
-        toks = list(line.strip()) if char_level else line.split()
+        if char_level:
+            toks = [SPACE_TOKEN if ch == " " else ch
+                    for ch in line.strip()]
+        else:
+            toks = line.split()
         if not toks:
             continue
         seq = [BOS] + toks + [EOS]
@@ -201,20 +208,20 @@ def train_ngram_arpa(corpus_lines: Sequence[str], out_path: str, *,
 # dense char-LM tables for on-device fusion
 
 
-def char_lm_table(lm: NGramLM, labels: Sequence[str],
-                  space: str = " ") -> np.ndarray:
-    """Densify a CHAR-level n-gram LM into a (V+1)^(order-1) x V table of
+def char_lm_table(lm: NGramLM, labels: Sequence[str]) -> np.ndarray:
+    """Densify a CHAR-level n-gram LM into a ((V+1)^(order-1), V) table of
     conditional natural-log-probs with all backoff applied.
 
-    Row index encodes the char context (base V+1 with 0 = no-char/BOS pad);
-    column j = log p(labels[j] | context). The result is a plain array a
-    Pallas/XLA beam-search kernel gathers from — no host round-trips.
+    Row index encodes the char context in base (V+1), oldest digit first,
+    digit 0 = "no char yet" (prefix shorter than the context window);
+    column j = log p(labels[j] | context). The result is a plain array an
+    on-device beam-search gathers rows from — no host round-trips.
+    (91 labels, 3-gram: 8464 x 91 fp32 ~ 3 MB in HBM.)
     """
     v = len(labels)
-    n_ctx = lm.order - 1
+    n_ctx = max(lm.order - 1, 1)
     rows = (v + 1) ** n_ctx
     table = np.zeros((rows, v), np.float32)
-    # enumerate contexts in base (V+1): digit 0 = empty, digit k = labels[k-1]
     for row in range(rows):
         digits = []
         r = row
@@ -222,21 +229,17 @@ def char_lm_table(lm: NGramLM, labels: Sequence[str],
             digits.append(r % (v + 1))
             r //= (v + 1)
         digits.reverse()            # most-recent char is the LAST digit
-        context = tuple(labels[d - 1] if d > 0 else BOS for d in digits)
-        # drop leading BOS padding except one
-        ctx: Tuple[str, ...] = tuple(w for w in context if w != BOS)
-        if len(ctx) < len(context):
-            ctx = (BOS,) + ctx if context[0] == BOS and row < (v + 1) ** n_ctx else ctx
+        ctx = tuple(labels[d - 1] for d in digits if d > 0)
         for j, ch in enumerate(labels):
-            table[row, j] = lm.log_prob(ch if ch != space else space, ctx)
+            table[row, j] = lm.log_prob(ch, ctx)
     return table
 
 
 def context_row_index(context_ids: Sequence[int], v: int, n_ctx: int) -> int:
-    """Row index for char_lm_table given the last n_ctx label ids (-1 pad)."""
-    row = 0
+    """Row index for char_lm_table given the last n_ctx label ids."""
     padded = [-1] * max(n_ctx - len(context_ids), 0) + \
         list(context_ids)[-n_ctx:]
+    row = 0
     for d in padded:
         row = row * (v + 1) + (d + 1)
     return row

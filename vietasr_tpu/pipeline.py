@@ -38,6 +38,10 @@ class TranscriberOptions:
     fold_bn: bool = True
     buckets_seconds: Sequence[float] = (2.0, 4.0, 6.0, 8.0, 11.0, 16.7)
     max_batch: int = 8
+    # "greedy" | "beam" (host C++/Python prefix beam + word LM) |
+    # "device_beam" (on-device batched beam, char-LM table fusion)
+    decoder: str = "greedy"
+    device_beam_cutoff_top_n: int = 8
     # bf16 on the MXU is ~20x faster than fp32 for this encoder with max
     # log-prob deviation ~3e-5 (measured on v5e); set None for exact fp32.
     compute_dtype: Optional[str] = "bfloat16"
@@ -91,7 +95,18 @@ class Transcriber:
         sr = self.cfg.featurizer.sample_rate
         self.buckets = [int(s * sr) for s in self.opts.buckets_seconds]
         self._decoder = None
-        if self.opts.lm_path is not None:
+        self._device_lm_table = None
+        if self.opts.decoder == "device_beam":
+            if self.opts.lm_path:
+                from vietasr_tpu.ops.lm import NGramLM, char_lm_table
+
+                lm = NGramLM(self.opts.lm_path)
+                self._device_lm_table = jnp.asarray(
+                    char_lm_table(lm, self.cfg.labels))
+                self._device_n_ctx = lm.order - 1
+            else:
+                self._device_n_ctx = 2
+        elif self.opts.lm_path is not None or self.opts.decoder == "beam":
             from vietasr_tpu.ops.beam_search import BeamSearchDecoderLM
 
             self._decoder = BeamSearchDecoderLM(
@@ -157,7 +172,17 @@ class Transcriber:
                 lens[row] = min(len(s), bl)
             lp, enc_lens, preds, keep = self._fwd(jnp.asarray(batch),
                                                   jnp.asarray(lens))
-            if self._decoder is not None:
+            if self.opts.decoder == "device_beam":
+                from vietasr_tpu.ops.device_beam import device_beam_transcripts
+
+                texts = device_beam_transcripts(
+                    lp, enc_lens, self.cfg.labels,
+                    beam_width=self.opts.beam_width,
+                    lm_table=self._device_lm_table,
+                    n_ctx=self._device_n_ctx,
+                    alpha=self.opts.lm_alpha, beta=0.0,
+                    cutoff_top_n=self.opts.device_beam_cutoff_top_n)
+            elif self._decoder is not None:
                 texts = self._decoder.decode_batch(
                     np.asarray(lp), np.asarray(enc_lens))
             else:
