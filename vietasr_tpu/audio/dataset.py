@@ -182,6 +182,71 @@ class BucketBatcher:
         return Batch(signal, signal_lens, tokens, token_lens)
 
 
+class AudioLabelDataset:
+    """Audio + single class label (speech commands / language ID).
+
+    Reference: AudioLabelDataset / AudioToSpeechLabelDataLayer
+    (parts/dataset.py:336-394, data_layer.py:449-607). Manifest entries use
+    the text field as the label name (the reference accepts `label`/`command`
+    aliases via its collections; write_manifest stores it as text).
+    """
+
+    def __init__(self, entries, labels, *, sample_rate: int = 16000,
+                 trim: bool = False, augmentor=None):
+        self.labels = list(labels)
+        self.label2id = {l: i for i, l in enumerate(self.labels)}
+        self.sample_rate = sample_rate
+        self.trim = trim
+        self.augmentor = augmentor
+        self.entries = []
+        self.label_ids = []
+        self.num_dropped = 0
+        for e in entries:
+            lid = self.label2id.get(e.text.strip())
+            if lid is None:
+                self.num_dropped += 1
+                continue
+            self.entries.append(e)
+            self.label_ids.append(lid)
+
+    def __len__(self) -> int:
+        return len(self.entries)
+
+    def __getitem__(self, i: int):
+        e = self.entries[i]
+        samples, _ = read_audio(e.audio_file, target_sr=self.sample_rate,
+                                offset=e.offset or 0.0, duration=e.duration,
+                                trim=self.trim)
+        if self.augmentor is not None:
+            samples = self.augmentor(samples, self.sample_rate)
+        return samples.astype(np.float32), self.label_ids[i]
+
+
+class TranscriptDataset:
+    """Tokenized text lines with optional bos/eos (reference
+    TranscriptDataset, parts/dataset.py:305-333; feeds LM training)."""
+
+    def __init__(self, path: str, tokenizer, *, bos_id: Optional[int] = None,
+                 eos_id: Optional[int] = None):
+        self.items: List[List[int]] = []
+        with open(path, "r", encoding="utf-8") as f:
+            for line in f:
+                ids = tokenizer.encode(line.strip())
+                if not ids:
+                    continue
+                if bos_id is not None:
+                    ids = [bos_id] + ids
+                if eos_id is not None:
+                    ids = ids + [eos_id]
+                self.items.append(ids)
+
+    def __len__(self) -> int:
+        return len(self.items)
+
+    def __getitem__(self, i: int) -> List[int]:
+        return self.items[i]
+
+
 def batch_sample_stats(batcher: BucketBatcher) -> dict:
     """Padding-efficiency diagnostics (fraction of real audio in batches)."""
     total = 0

@@ -172,6 +172,11 @@ class Trainer:
     checkpoint_manager: Optional[object] = None
     checkpoint_every: int = 0
     seed: int = 0
+    # jax.profiler trace of steps [profile_start, profile_stop) written here
+    # (replaces the reference's step-time-only observability, SURVEY §5.1)
+    profile_dir: Optional[str] = None
+    profile_start: int = 10
+    profile_stop: int = 13
 
     def __post_init__(self):
         self._train_step = jax.jit(make_train_step(
@@ -190,9 +195,17 @@ class Trainer:
             for batch in batcher:
                 rng, step_rng = jax.random.split(rng)
                 t0 = time.time()
+                if self.profile_dir is not None \
+                        and int(state.step) == self.profile_start:
+                    jax.profiler.start_trace(self.profile_dir)
                 state, metrics = self._train_step(
                     state, batch_to_arrays(batch), step_rng)
                 step = int(state.step)
+                if self.profile_dir is not None \
+                        and step == self.profile_stop:
+                    jax.tree_util.tree_leaves(state.params)[0] \
+                        .block_until_ready()
+                    jax.profiler.stop_trace()
                 if self.log_every and step % self.log_every == 0:
                     m = {k: float(v) for k, v in metrics.items()}
                     m.update(step=step, epoch=epoch,
