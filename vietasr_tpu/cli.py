@@ -139,7 +139,8 @@ def cmd_train(args) -> int:
     trainer = Trainer(cfg=cfg, optimizer=opt, grad_accum=args.grad_accum,
                       lr_schedule=schedule, log_every=args.log_every,
                       eval_every=args.eval_every, checkpoint_manager=cm,
-                      checkpoint_every=args.checkpoint_every, seed=args.seed)
+                      checkpoint_every=args.checkpoint_every, seed=args.seed,
+                      compute_dtype=args.compute_dtype)
     trainer.callbacks.append(
         lambda tr, m: print(json.dumps(m, ensure_ascii=False)))
     state = trainer.fit(state, batcher, num_epochs=args.num_epochs,
@@ -232,6 +233,9 @@ def main(argv=None) -> int:
     p.add_argument("--weight-decay", type=float, default=0.001)
     p.add_argument("--grad-clip", type=float, default=None)
     p.add_argument("--grad-accum", type=int, default=1)
+    p.add_argument("--compute-dtype", default=None,
+                   choices=[None, "bfloat16", "float32"],
+                   help="bf16 mixed precision (Apex AMP equivalent)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--log-every", type=int, default=10)
     p.add_argument("--eval-every", type=int, default=0)

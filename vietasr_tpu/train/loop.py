@@ -47,7 +47,11 @@ def batch_to_arrays(batch) -> Dict[str, jnp.ndarray]:
     }
 
 
-def make_loss_fn(cfg: ModelConfig, *, use_specaug: bool = True):
+def make_loss_fn(cfg: ModelConfig, *, use_specaug: bool = True,
+                 compute_dtype=None):
+    """compute_dtype=bfloat16 runs the encoder matmuls/convs in bf16 with
+    fp32 params and accumulation — the TPU replacement for the reference's
+    Apex AMP O1/O2 (actions.py:352-378); no loss scaling is needed."""
     featurize = make_featurizer(cfg.featurizer)
     blank = cfg.num_classes
 
@@ -60,7 +64,7 @@ def make_loss_fn(cfg: ModelConfig, *, use_specaug: bool = True):
             feats = apply_spec_augment(r_aug, feats, cfg.spec_augment)
         log_probs, enc_lens, new_stats = model_apply(
             variables, feats, flens, cfg=cfg, training=training,
-            rng=r_drop)
+            rng=r_drop, compute_dtype=compute_dtype)
         per_sample = ctc_loss(log_probs, batch["tokens"], enc_lens,
                               batch["token_lens"], blank=blank,
                               reduction="none")
@@ -80,9 +84,11 @@ def make_train_step(
     grad_accum: int = 1,
     use_specaug: bool = True,
     lr_schedule=None,
+    compute_dtype=None,
 ):
     """Returns train_step(state, batch_dict, rng) -> (state, metrics)."""
-    loss_fn = make_loss_fn(cfg, use_specaug=use_specaug)
+    loss_fn = make_loss_fn(cfg, use_specaug=use_specaug,
+                           compute_dtype=compute_dtype)
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
     def one_microbatch(carry, micro):
@@ -167,6 +173,7 @@ class Trainer:
     grad_accum: int = 1
     use_specaug: bool = True
     lr_schedule: Optional[Callable] = None
+    compute_dtype: Optional[str] = None      # e.g. "bfloat16"
     log_every: int = 10
     eval_every: int = 0
     checkpoint_manager: Optional[object] = None
@@ -179,9 +186,11 @@ class Trainer:
     profile_stop: int = 13
 
     def __post_init__(self):
+        dtype = jnp.dtype(self.compute_dtype) if self.compute_dtype else None
         self._train_step = jax.jit(make_train_step(
             self.cfg, self.optimizer, grad_accum=self.grad_accum,
-            use_specaug=self.use_specaug, lr_schedule=self.lr_schedule))
+            use_specaug=self.use_specaug, lr_schedule=self.lr_schedule,
+            compute_dtype=dtype))
         self._eval_step = jax.jit(make_eval_step(self.cfg))
         self.callbacks = []
         self.history = []
