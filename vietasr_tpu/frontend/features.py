@@ -204,10 +204,15 @@ def log_mel_features(
     if cfg.preemph is not None:
         x = jnp.concatenate([x[:, :1], x[:, 1:] - cfg.preemph * x[:, :-1]], axis=1)
 
-    frames = _frame_signal(x, n_fft, hop)                      # (B, T, n_fft)
-    spec = jnp.einsum(
-        "btn,nk->btk", frames, dft_matrix, preferred_element_type=jnp.float32
-    )                                                          # (B, T, 2*n_bins)
+    # framing + windowed DFT as ONE strided convolution (stride = hop,
+    # kernel = the (n_fft, 2*n_bins) DFT matrix): XLA lowers it onto the
+    # MXU with no gather materialization; bit-identical to frame+einsum
+    pad = n_fft // 2
+    xp = jnp.pad(x, ((0, 0), (pad, pad)), mode="reflect")
+    spec = jax.lax.conv_general_dilated(
+        xp[:, :, None], dft_matrix.reshape(n_fft, 1, -1),
+        window_strides=(hop,), padding=[(0, 0)],
+        dimension_numbers=("NWC", "WIO", "NWC"))               # (B, T, 2*n_bins)
     n_bins = n_fft // 2 + 1
     re, im = spec[..., :n_bins], spec[..., n_bins:]
     power = re * re + im * im                                  # |X|^2
