@@ -101,6 +101,21 @@ def test_chunked_log_probs_match_full():
     assert diff < 1e-3, diff
 
 
+def test_8khz_longform_call_center_path(tmp_path):
+    """BASELINE config 4: 8 kHz call-center audio -> resample -> chunked
+    long-form transcription, end to end through the pipeline."""
+    from vietasr_tpu.audio.io import resample
+    from vietasr_tpu.pipeline import Transcriber
+
+    t = Transcriber("/root/reference/configs/quartznet12x1_vi.yaml")
+    rng = np.random.RandomState(3)
+    sig_8k = (rng.randn(8000 * 25) * 0.05).astype(np.float32)  # 25 s @ 8 kHz
+    sig = resample(sig_8k, 8000, 16000)
+    assert abs(len(sig) - 16000 * 25) < 10
+    out = t.transcribe_long(sig, chunk_seconds=10.0, overlap_seconds=1.0)
+    assert isinstance(out, str)
+
+
 def test_transcribe_long_through_pipeline(tmp_path):
     """End-to-end: Transcriber.transcribe_long on 40 s of audio (beyond the
     largest bucket) runs and returns a string."""

@@ -24,8 +24,6 @@ from __future__ import annotations
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-_COL = {"w"}  # placeholder; decisions are path-based below
-
 
 def _spec_for_path(path) -> P:
     keys = [getattr(k, "key", getattr(k, "idx", None)) for k in path]

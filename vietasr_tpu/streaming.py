@@ -83,6 +83,16 @@ def transcribe_long(
     log_probs, total = long_form_log_probs(
         transcriber, signal, chunk_seconds=chunk_seconds,
         overlap_seconds=overlap_seconds)
+    opts = getattr(transcriber, "opts", None)
+    if opts is not None and opts.decoder == "device_beam":
+        from vietasr_tpu.ops.device_beam import device_beam_transcripts
+
+        return device_beam_transcripts(
+            log_probs[None, :total], np.array([total]),
+            transcriber.cfg.labels, beam_width=opts.beam_width,
+            lm_table=transcriber._device_lm_table,
+            n_ctx=transcriber._device_n_ctx, alpha=opts.lm_alpha,
+            beta=0.0, cutoff_top_n=opts.device_beam_cutoff_top_n)[0]
     if transcriber._decoder is not None:
         return transcriber._decoder.decode(log_probs[:total])
     from vietasr_tpu.ops.greedy import ctc_collapse, ids_to_text
