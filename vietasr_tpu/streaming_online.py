@@ -1,0 +1,232 @@
+"""True online (stateful) streaming inference.
+
+The reference's "streaming" is fake: the web demo buffers the whole
+utterance and runs batch inference (app.py:58-69). Chunked long-form
+(streaming.py) recomputes overlap. This module does REAL streaming: a
+jitted step `(state, audio_chunk) -> (state, new_log_probs)` where every
+conv layer carries a ring buffer of its last kernel-1 input frames, so
+each audio sample is convolved exactly once and outputs are EXACT —
+identical to the offline forward (up to normalization, see below) with
+algorithmic latency = receptive_field/2 (~6.4 s for quartznet12x1_vi).
+
+Mechanics: every "same"-padded conv becomes a VALID conv over
+[carry ++ chunk]; the residual 1x1 taps the carry-concatenated input at the
+conv-center offset k//2; the new carry is the last k-1 frames. The stride-2
+prologue keeps phase by requiring even chunk lengths.
+
+Normalization deviation (documented, SURVEY §5.7): per-feature stats are
+CAUSAL RUNNING stats (count/mean/M2 over all frames seen so far) instead of
+utterance-global — exactness tests therefore run with normalize="" and the
+causal-norm path is validated separately for stability.
+
+Works for stride-1/dilation-1 separable QuartzNet blocks + the dense k=1
+epilogue + head (i.e. the shipped configs). BN must be folded (inference).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vietasr_tpu.config import EncoderConfig, ModelConfig
+from vietasr_tpu.frontend.features import FeaturizerConfig, _windowed_dft_matrix
+from vietasr_tpu.frontend.mel import mel_filterbank
+from vietasr_tpu.models.layers import depthwise_conv1d, pointwise_conv
+
+
+@dataclasses.dataclass
+class StreamState:
+    """All carries. Shapes are static; the object is a pytree."""
+
+    audio: jnp.ndarray                  # (n_fft - hop,) raw-sample carry
+    preemph_last: jnp.ndarray           # () last raw sample
+    norm_count: jnp.ndarray             # () frames seen
+    norm_mean: jnp.ndarray              # (n_mels,)
+    norm_m2: jnp.ndarray                # (n_mels,)
+    blocks: Tuple[jnp.ndarray, ...]     # per conv block: (k-1, C) carry
+
+
+def tree_flatten_state(s):  # registered below
+    return ((s.audio, s.preemph_last, s.norm_count, s.norm_mean, s.norm_m2,
+             s.blocks), None)
+
+
+jax.tree_util.register_pytree_node(
+    StreamState, tree_flatten_state,
+    lambda aux, ch: StreamState(*ch))
+
+
+class OnlineTranscriber:
+    """Stateful streaming over a folded QuartzNet."""
+
+    def __init__(self, cfg: ModelConfig, folded_variables: dict,
+                 *, causal_norm: bool = True):
+        if cfg.architecture != "quartznet":
+            raise NotImplementedError("online streaming: quartznet only")
+        self.cfg = cfg
+        self.variables = folded_variables
+        self.causal_norm = causal_norm
+        fc = cfg.featurizer
+        self._dft = jnp.asarray(_windowed_dft_matrix(fc))
+        self._mel = jnp.asarray(mel_filterbank(
+            fc.sample_rate, fc.fft_length, fc.features, fc.lowfreq,
+            fc.highfreq).T)
+        for b in cfg.encoder.blocks[1:]:
+            if b.stride != 1 or b.dilation != 1 or b.repeat != 1:
+                raise NotImplementedError(
+                    "online streaming requires stride/dilation/repeat 1 "
+                    "after the prologue")
+        # audio carry length: must satisfy L === n_fft//2 (mod hop) so that
+        # emitted frame centers land on the offline hop grid
+        n_fft, hop = fc.fft_length, fc.hop_length
+        base = n_fft - hop
+        self._audio_carry = base + ((n_fft // 2 - base) % hop)
+        self._step = jax.jit(self._step_impl)
+
+    @property
+    def prefix_frames(self) -> int:
+        """Encoder frames at stream start that correspond to the zero
+        context before the audio (callers drop them): the streaming output
+        equals the offline forward of [zeros ++ audio] — this is the length
+        of the zeros region in output frames.
+
+        Recurrence: a valid conv (kernel k, stride s) over a stream with J
+        leading zero-context frames emits ceil((J + (k-1)/2) / s) outputs
+        whose centers fall inside that region.
+        """
+        hop = self.cfg.featurizer.hop_length
+        n_fft = self.cfg.featurizer.fft_length
+        # featurizer junk frames: carry-over beyond the offline center pad
+        j = (self._audio_carry - n_fft // 2) // hop + 1
+        for b in self.cfg.encoder.blocks:
+            half = (b.effective_kernel - 1) // 2
+            j = -(-(j + half) // b.stride)
+        return j
+
+    # ------------------------------------------------------------------
+
+    def init_state(self) -> StreamState:
+        fc = self.cfg.featurizer
+        carries = []
+        c_in = fc.features
+        for b in self.cfg.encoder.blocks:
+            k = b.effective_kernel
+            carries.append(jnp.zeros((k - 1, c_in), jnp.float32))
+            c_in = b.filters
+        return StreamState(
+            audio=jnp.zeros((self._audio_carry,), jnp.float32),
+            preemph_last=jnp.zeros((), jnp.float32),
+            norm_count=jnp.zeros((), jnp.float32),
+            norm_mean=jnp.zeros((fc.features,), jnp.float32),
+            norm_m2=jnp.zeros((fc.features,), jnp.float32),
+            blocks=tuple(carries),
+        )
+
+    def _featurize_chunk(self, state: StreamState, chunk: jnp.ndarray):
+        """chunk: (S,) raw samples, S a multiple of hop. Emits S/hop frames."""
+        fc = self.cfg.featurizer
+        hop, n_fft = fc.hop_length, fc.fft_length
+        x = jnp.concatenate([state.audio, chunk])
+        # preemphasis continuous across chunks (preemph_last = the raw
+        # sample just before the carry window)
+        prev = jnp.concatenate([state.preemph_last[None], x[:-1]])
+        xp = x - fc.preemph * prev
+        # frames fully contained in [carry ++ chunk]
+        n_frames = chunk.shape[0] // hop
+        spec = jax.lax.conv_general_dilated(
+            xp[None, :, None], self._dft.reshape(n_fft, 1, -1),
+            window_strides=(hop,), padding=[(0, 0)],
+            dimension_numbers=("NWC", "WIO", "NWC"))[0]
+        spec = spec[:n_frames]
+        n_bins = n_fft // 2 + 1
+        power = spec[:, :n_bins] ** 2 + spec[:, n_bins:] ** 2
+        mel = jnp.log(power @ self._mel + fc.log_zero_guard_value)
+
+        if self.causal_norm:
+            # Welford-style running stats over all frames so far
+            cnt0 = state.norm_count
+            n = jnp.asarray(n_frames, jnp.float32)
+            mean_c = jnp.mean(mel, axis=0)
+            m2_c = jnp.sum((mel - mean_c) ** 2, axis=0)
+            delta = mean_c - state.norm_mean
+            cnt = cnt0 + n
+            mean = state.norm_mean + delta * n / cnt
+            m2 = state.norm_m2 + m2_c + delta ** 2 * cnt0 * n / cnt
+            std = jnp.sqrt(m2 / jnp.maximum(cnt - 1, 1.0)) + 1e-5
+            out = (mel - mean) / std
+        else:
+            cnt, mean, m2 = state.norm_count, state.norm_mean, state.norm_m2
+            out = mel
+
+        new_state = dataclasses.replace(
+            state,
+            audio=x[-self._audio_carry:],
+            preemph_last=x[-(self._audio_carry + 1)],
+            norm_count=cnt, norm_mean=mean, norm_m2=m2)
+        return new_state, out                        # (n_frames, n_mels)
+
+    def _block_chunk(self, carry, x, params, bcfg):
+        """x: (T, C_in) new frames. Returns (new_carry, out (T_out, C_out))."""
+        k = bcfg.effective_kernel
+        xin = jnp.concatenate([carry, x], axis=0)    # (k-1+T, C)
+        sub = params["sub"][0]
+        if bcfg.separable:
+            y = depthwise_conv1d(xin[None], sub["dw_w"],
+                                 stride=bcfg.stride)[0]
+            y = pointwise_conv(y[None], sub["pw_w"])[0] + sub["b"]
+        else:
+            from vietasr_tpu.models.layers import dense_conv1d
+
+            y = dense_conv1d(xin[None], sub["conv_w"],
+                             stride=bcfg.stride)[0] + sub["b"]
+        if params["res"]:
+            pane = params["res"][0]
+            # residual taps the conv-center-aligned input slice
+            start = k // 2
+            if bcfg.stride == 1:
+                x_res = jax.lax.dynamic_slice_in_dim(
+                    xin, start, y.shape[0], axis=0)
+            else:
+                x_res = xin[start : start + y.shape[0] * bcfg.stride
+                            : bcfg.stride]
+            r = pointwise_conv(x_res[None], pane["conv_w"])[0] + pane["b"]
+            y = y + r
+        y = jnp.maximum(y, 0.0)
+        new_carry = xin[-(k - 1):] if k > 1 else carry
+        return new_carry, y
+
+    def _step_impl(self, state: StreamState, chunk: jnp.ndarray):
+        state, feats = self._featurize_chunk(state, chunk)
+        x = feats
+        new_carries = []
+        for i, bcfg in enumerate(self.cfg.encoder.blocks):
+            carry, x = self._block_chunk(
+                state.blocks[i], x, self.variables["params"]["encoder"][i],
+                bcfg)
+            new_carries.append(carry)
+        dec = self.variables["params"]["decoder"]
+        logits = x @ dec["w"] + dec["b"]
+        log_probs = jax.nn.log_softmax(logits, axis=-1)
+        state = dataclasses.replace(state, blocks=tuple(new_carries))
+        return state, log_probs
+
+    # ------------------------------------------------------------------
+
+    def stream(self, chunks, *, drop_prefix: bool = True) -> np.ndarray:
+        """Feed raw-sample chunks (each a multiple of 2*hop samples);
+        returns the concatenated emitted log-probs (zero-context prefix
+        frames dropped unless drop_prefix=False)."""
+        state = self.init_state()
+        outs: List[np.ndarray] = []
+        for chunk in chunks:
+            state, lp = self._step(state, jnp.asarray(chunk, jnp.float32))
+            if lp.shape[0]:
+                outs.append(np.asarray(lp))
+        if not outs:
+            return np.zeros((0, 1))
+        out = np.concatenate(outs, axis=0)
+        return out[self.prefix_frames:] if drop_prefix else out
