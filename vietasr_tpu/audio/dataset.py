@@ -139,7 +139,7 @@ class BucketBatcher:
         for bi, b in enumerate(self.buckets):
             if n_samples <= b:
                 return bi
-        return len(self.buckets) - 1
+        return -1          # longer than the largest bucket
 
     def __iter__(self) -> Iterator[Batch]:
         rng = np.random.RandomState(self.seed + self.epoch)
@@ -148,10 +148,17 @@ class BucketBatcher:
             rng.shuffle(idx)
         idx = idx[self.shard_id :: self.num_shards]
 
+        self.num_skipped_too_long = 0
         pending: List[List[int]] = [[] for _ in self.buckets]
         for i in idx:
             n = int(self.ds.entries[i].duration * self.ds.sample_rate)
             bi = self._bucket_of(n)
+            if bi < 0:
+                # truncating audio while keeping the full transcript would
+                # create mismatched (and possibly CTC-infeasible) pairs —
+                # drop instead, like the reference's max_duration filter
+                self.num_skipped_too_long += 1
+                continue
             pending[bi].append(int(i))
             if len(pending[bi]) == self.batch_size:
                 yield self._make_batch(pending[bi], bi)

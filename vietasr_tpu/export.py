@@ -34,7 +34,9 @@ def export_transcriber(transcriber, out_dir: str, *,
     os.makedirs(out_dir, exist_ok=True)
     buckets = list(buckets or transcriber.buckets)
     entries = []
-    fn = jax.jit(transcriber._forward)
+    # weights ARE baked into the exported program (it must be self-contained)
+    fn = jax.jit(lambda signal, lengths: transcriber._forward(
+        transcriber.variables, signal, lengths))
     for b in batch_sizes:
         for s in buckets:
             signal = jnp.zeros((b, s), jnp.float32)

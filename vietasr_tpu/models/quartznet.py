@@ -107,6 +107,8 @@ def _init_block(rng, bcfg: BlockConfig, c_in: int, res_panes: Sequence[int],
         stats["sub"].append(s)
         c = bcfg.filters
         if bcfg.se and not bcfg.residual:
+            # one SE per repeat, matching the reference (per-repeat append
+            # at parts/jasper.py:238-239 plus the final one at :259-260)
             rng, se_rng = jax.random.split(rng)
             params["se"].append(_init_se(se_rng, bcfg.filters,
                                          bcfg.se_reduction_ratio, mode))

@@ -177,7 +177,9 @@ class BeamSearchDecoderLM:
 
     def decode(self, log_probs: np.ndarray,
                length: Optional[int] = None) -> str:
-        lp = log_probs[:length] if length else log_probs
+        lp = log_probs[:length] if length is not None else log_probs
+        if lp.shape[0] == 0:
+            return ""
         if self._native is not None:
             return self._native.decode(np.ascontiguousarray(lp, np.float32),
                                        self.beam_width)

@@ -151,7 +151,6 @@ def train_ngram_arpa(corpus_lines: Sequence[str], out_path: str, *,
                     continue    # ARPA convention: <s> has prob only as context
                 counts[n - 1][g] = counts[n - 1].get(g, 0) + 1
 
-    vocab = sorted({g[0] for g in counts[0]}) + [UNK, BOS]
     probs: List[Dict[Tuple[str, ...], float]] = [dict() for _ in range(order)]
     backoffs: List[Dict[Tuple[str, ...], float]] = [dict() for _ in range(order)]
 

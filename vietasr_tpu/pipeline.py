@@ -91,7 +91,7 @@ class Transcriber:
         self.variables = variables
 
         self._featurize = make_featurizer(self.cfg.featurizer)
-        self._fwd = jax.jit(self._forward)
+        self._fwd_jit = jax.jit(self._forward)
         sr = self.cfg.featurizer.sample_rate
         self.buckets = [int(s * sr) for s in self.opts.buckets_seconds]
         self._decoder = None
@@ -116,16 +116,21 @@ class Transcriber:
 
     # -- compiled core -----------------------------------------------------
 
-    def _forward(self, signal, lengths):
+    def _forward(self, variables, signal, lengths):
+        """Weights are a jit ARGUMENT (not a traced constant) so the many
+        (bucket x batch) programs share one copy of the params in HBM."""
         feats, flens = self._featurize(signal, lengths)
         dtype = jnp.dtype(self.opts.compute_dtype) \
             if self.opts.compute_dtype else None
         log_probs, enc_lens, _ = model_apply(
-            self.variables, feats, flens, cfg=self.cfg,
+            variables, feats, flens, cfg=self.cfg,
             compute_dtype=dtype)
         preds, keep = greedy_decode(log_probs, enc_lens,
                                     blank=self.cfg.num_classes)
         return log_probs, enc_lens, preds, keep
+
+    def _fwd(self, signal, lengths):
+        return self._fwd_jit(self.variables, signal, lengths)
 
     def _bucket_len(self, n: int) -> int:
         for b in self.buckets:

@@ -109,8 +109,11 @@ def long_form_log_probs(transcriber, signal: np.ndarray, *,
     sr = transcriber.cfg.featurizer.sample_rate
     hop = transcriber.cfg.featurizer.hop_length
     enc_stride = encoder_stride(transcriber.cfg.encoder)
-    chunk = int(chunk_seconds * sr)
-    overlap = int(overlap_seconds * sr)
+    # stitch points must land on the hop*stride grid or boundary frames get
+    # duplicated/dropped — round chunk and overlap to that grid
+    grid = hop * enc_stride
+    chunk = max(int(chunk_seconds * sr) // grid, 2) * grid
+    overlap = max(int(overlap_seconds * sr) // grid, 1) * grid
     spans = chunk_spans(len(signal), chunk, overlap)
 
     pieces = []

@@ -220,9 +220,15 @@ class OnlineTranscriber:
         """Feed raw-sample chunks (each a multiple of 2*hop samples);
         returns the concatenated emitted log-probs (zero-context prefix
         frames dropped unless drop_prefix=False)."""
+        hop = self.cfg.featurizer.hop_length
         state = self.init_state()
         outs: List[np.ndarray] = []
         for chunk in chunks:
+            if len(chunk) % (2 * hop) != 0:
+                raise ValueError(
+                    f"chunk length {len(chunk)} must be a multiple of "
+                    f"2*hop={2 * hop} (even frame count keeps the stride-2 "
+                    f"prologue phase); pad the final chunk")
             state, lp = self._step(state, jnp.asarray(chunk, jnp.float32))
             if lp.shape[0]:
                 outs.append(np.asarray(lp))

@@ -116,7 +116,10 @@ def make_train_step(
             (loss, (new_stats, _, _)), grads = grad_fn(
                 state.params, state.batch_stats, batch, rng, True)
 
-        finite = jnp.isfinite(loss)
+        # NaN/inf guard; also catches CTC-infeasible samples, whose loss is
+        # a large finite sentinel (~1e30, ops/ctc_loss.py NEG_INF) rather
+        # than torch's inf
+        finite = jnp.isfinite(loss) & (loss < 1e25)
         safe_grads = jax.tree_util.tree_map(
             lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads)
         updates, new_opt_state = optimizer.update(
