@@ -1,0 +1,80 @@
+"""Websocket real-time streaming session against a live server."""
+
+import asyncio
+import json
+
+import numpy as np
+import pytest
+
+from vietasr_tpu.serve import AsrServer
+from vietasr_tpu.serve.streams import StreamPool
+from vietasr_tpu.streaming_online import OnlineTranscriber
+
+from test_serve import _PipelineShim
+from test_streaming_online import small_model
+
+
+@pytest.fixture(scope="module")
+def server():
+    cfg, variables = small_model(normalize="")
+    ot = OnlineTranscriber(cfg, variables, causal_norm=False)
+    pool = StreamPool(ot, slots=2, chunk_samples=3200)
+    s = AsrServer(_PipelineShim(), host="127.0.0.1", port=18501,
+                  stream_pool=pool)
+    s.start(background=True)
+    import time
+
+    time.sleep(0.3)
+    yield s
+    s.stop()
+
+
+def test_streaming_session(server):
+    import websockets
+
+    async def run():
+        rng = np.random.RandomState(0)
+        sig = (rng.randn(16000) * 0.1).astype(np.float32)
+        pcm = (np.clip(sig, -1, 1) * 32767).astype("<i2").tobytes()
+        partials, final = [], None
+        async with websockets.connect("ws://127.0.0.1:18502") as ws:
+            await ws.send(json.dumps({"mode": "stream"}))
+            ready = json.loads(await ws.recv())
+            assert ready.get("ready")
+            # send in uneven network-sized pieces
+            for i in range(0, len(pcm), 5000):
+                await ws.send(pcm[i:i + 5000])
+            await ws.send(json.dumps({"type": "end"}))
+            while True:
+                msg = json.loads(await ws.recv())
+                if "final" in msg:
+                    final = msg["final"]
+                    break
+                if "partial" in msg:
+                    partials.append(msg["partial"])
+        return partials, final
+
+    partials, final = asyncio.run(run())
+    assert final is not None
+    # the final transcript contains everything the partials emitted
+    assert "".join(partials) in (final or "".join(partials) + " ") \
+        or final.startswith("".join(partials))
+
+
+def test_streaming_rejected_when_slots_busy(server):
+    import websockets
+
+    async def run():
+        async with websockets.connect("ws://127.0.0.1:18502") as a, \
+                websockets.connect("ws://127.0.0.1:18502") as b, \
+                websockets.connect("ws://127.0.0.1:18502") as c:
+            await a.send(json.dumps({"mode": "stream"}))
+            await b.send(json.dumps({"mode": "stream"}))
+            assert json.loads(await a.recv()).get("ready")
+            assert json.loads(await b.recv()).get("ready")
+            await c.send(json.dumps({"mode": "stream"}))
+            msg = json.loads(await c.recv())
+            return msg
+
+    msg = asyncio.run(run())
+    assert "busy" in msg.get("error", "")

@@ -1,0 +1,81 @@
+"""Multi-stream pool: vmapped streaming must match single-stream results,
+slots must be isolated, and incremental greedy must match offline collapse."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from vietasr_tpu.serve.streams import IncrementalGreedy, StreamPool
+from vietasr_tpu.streaming_online import OnlineTranscriber
+
+from test_streaming_online import small_model
+
+
+def test_incremental_greedy_matches_batch_collapse():
+    from vietasr_tpu.ops.greedy import ctc_collapse
+
+    rng = np.random.RandomState(0)
+    lp = rng.randn(40, 5).astype(np.float32)
+    inc = IncrementalGreedy(["a", "b", "c", " "], blank=4)
+    for i in range(0, 40, 7):
+        inc.feed(lp[i:i + 7])
+    want = ctc_collapse(np.argmax(lp, -1), blank=4)
+    assert inc.ids == want
+
+
+@pytest.fixture(scope="module")
+def pool_setup():
+    cfg, variables = small_model(normalize="")
+    ot = OnlineTranscriber(cfg, variables, causal_norm=False)
+    return cfg, ot
+
+
+def test_pool_matches_single_stream(pool_setup):
+    cfg, ot = pool_setup
+    pool = StreamPool(ot, slots=4, chunk_samples=3200)
+    rng = np.random.RandomState(0)
+    sig_a = (rng.randn(16000) * 0.1).astype(np.float32)
+    sig_b = (rng.randn(16000) * 0.1).astype(np.float32)
+
+    # single-stream references
+    chunks_a = [sig_a[i:i + 3200] for i in range(0, 16000, 3200)]
+    chunks_b = [sig_b[i:i + 3200] for i in range(0, 16000, 3200)]
+    ref_a = ot.stream(chunks_a)
+    ref_b = ot.stream(chunks_b)
+
+    sa = pool.open()
+    sb = pool.open()
+    assert sa != sb
+    outs_a, outs_b = [], []
+    state_lp = {sa: [], sb: []}
+    for ca, cb in zip(chunks_a, chunks_b):
+        pool.feed({sa: ca, sb: cb})
+    # compare via decoder ids after full feed: replay reference through
+    # IncrementalGreedy on the dropped-prefix frames
+    ref_dec_a = IncrementalGreedy(cfg.labels, cfg.num_classes)
+    ref_dec_a.feed(ref_a)
+    ref_dec_b = IncrementalGreedy(cfg.labels, cfg.num_classes)
+    ref_dec_b.feed(ref_b)
+    assert pool.decoders[sa].ids == ref_dec_a.ids
+    assert pool.decoders[sb].ids == ref_dec_b.ids
+
+    t_a = pool.close(sa)
+    assert t_a == ref_dec_a.text
+    # slot reuse after close resets state
+    sc = pool.open()
+    assert sc == sa
+    for ca in chunks_a:
+        pool.feed({sc: ca})
+    assert pool.decoders[sc].ids == ref_dec_a.ids
+
+
+def test_pool_capacity_and_bad_chunk(pool_setup):
+    _, ot = pool_setup
+    pool = StreamPool(ot, slots=2, chunk_samples=3200)
+    s1, s2 = pool.open(), pool.open()
+    assert pool.open() is None          # full
+    with pytest.raises(ValueError, match="exactly"):
+        pool.feed({s1: np.zeros(100, np.float32)})
+    pool.close(s1)
+    assert pool.open() is not None      # freed

@@ -162,7 +162,15 @@ def cmd_serve(args) -> int:
                     encoder_checkpoint=args.encoder_checkpoint,
                     decoder_checkpoint=args.decoder_checkpoint,
                     variables=variables, options=opts)
-    serve(t, host=args.host, port=args.port, record_dir=args.record_dir)
+    pool = None
+    if args.streaming:
+        from vietasr_tpu.serve.streams import StreamPool
+        from vietasr_tpu.streaming_online import OnlineTranscriber
+
+        ot = OnlineTranscriber(t.cfg, t.variables)
+        pool = StreamPool(ot, slots=args.stream_slots)
+    serve(t, host=args.host, port=args.port, record_dir=args.record_dir,
+          stream_pool=pool)
     return 0
 
 
@@ -250,6 +258,9 @@ def main(argv=None) -> int:
     p.add_argument("--port", type=int, default=5000)
     p.add_argument("--record-dir", default=None,
                    help="save received audio here (reference static/record)")
+    p.add_argument("--streaming", action="store_true",
+                   help="enable real-time partial-result websocket sessions")
+    p.add_argument("--stream-slots", type=int, default=8)
     p.add_argument("--beam-width", type=int, default=50)
     p.add_argument("--lm-path")
     p.add_argument("--lm-alpha", type=float, default=0.5)

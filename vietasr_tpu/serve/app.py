@@ -42,13 +42,15 @@ _HTML_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 class AsrServer:
     def __init__(self, transcriber, *, host: str = "0.0.0.0",
                  port: int = 5000, record_dir: Optional[str] = None,
-                 max_seconds: float = 0.0):
+                 max_seconds: float = 0.0, stream_pool=None):
         self.transcriber = transcriber
         self.host = host
         self.port = port
         self.ws_port = port + 1
         self.record_dir = record_dir
         self.max_seconds = max_seconds
+        # optional serve.streams.StreamPool for real-time partial results
+        self.stream_pool = stream_pool
         if record_dir:
             os.makedirs(record_dir, exist_ok=True)
         self._httpd: Optional[ThreadingHTTPServer] = None
@@ -137,8 +139,15 @@ class AsrServer:
     # websocket (mic streaming)
 
     async def _ws_handler(self, websocket):
+        first = True
         async for message in websocket:
             try:
+                if first and isinstance(message, str):
+                    obj = json.loads(message)
+                    if obj.get("mode") == "stream":
+                        await self._stream_session(websocket)
+                        return
+                first = False
                 if isinstance(message, bytes):
                     data = message
                 else:
@@ -149,6 +158,63 @@ class AsrServer:
                 await websocket.send(json.dumps(result, ensure_ascii=False))
             except Exception as e:  # noqa: BLE001
                 await websocket.send(json.dumps({"error": str(e)}))
+
+    async def _stream_session(self, websocket):
+        """Real-time session: client sends raw 16 kHz PCM16 binary frames;
+        server answers {"partial": ...} per chunk and {"final": ...} on
+        {"type": "end"}. Requires a StreamPool (serve --streaming)."""
+        if self.stream_pool is None:
+            await websocket.send(json.dumps(
+                {"error": "streaming disabled; start the server with a "
+                          "stream pool"}))
+            return
+        slot = self.stream_pool.open()
+        if slot is None:
+            await websocket.send(json.dumps({"error": "all stream slots "
+                                             "busy"}))
+            return
+        loop = asyncio.get_event_loop()
+        chunk_bytes = self.stream_pool.chunk_samples * 2
+        buf = b""
+        await websocket.send(json.dumps({"ready": True, "slot": slot}))
+        try:
+            async for message in websocket:
+                if isinstance(message, str):
+                    obj = json.loads(message)
+                    if obj.get("type") == "end":
+                        break
+                    continue
+                buf += message
+                while len(buf) >= chunk_bytes:
+                    raw, buf = buf[:chunk_bytes], buf[chunk_bytes:]
+                    samples = np.frombuffer(raw, "<i2").astype(np.float32) \
+                        / 32768.0
+                    out = await loop.run_in_executor(
+                        None, self.stream_pool.feed, {slot: samples})
+                    if out.get(slot):
+                        await websocket.send(json.dumps(
+                            {"partial": out[slot]}, ensure_ascii=False))
+            # flush: pad tail + push silence to drain the lookahead
+            if buf:
+                pad = buf + b"\x00" * (chunk_bytes - len(buf))
+                samples = np.frombuffer(pad, "<i2").astype(np.float32) \
+                    / 32768.0
+                await loop.run_in_executor(
+                    None, self.stream_pool.feed, {slot: samples})
+            silence = np.zeros(self.stream_pool.chunk_samples, np.float32)
+            prefix = self.stream_pool.ot.prefix_frames
+            frames_per_chunk = self.stream_pool.chunk_samples // \
+                (self.stream_pool.ot.cfg.featurizer.hop_length * 2)
+            for _ in range(prefix // max(frames_per_chunk, 1) + 1):
+                await loop.run_in_executor(
+                    None, self.stream_pool.feed, {slot: silence})
+        finally:
+            final = self.stream_pool.close(slot)
+            try:
+                await websocket.send(json.dumps({"final": final},
+                                                ensure_ascii=False))
+            except Exception:  # noqa: BLE001 — client may have vanished
+                pass
 
     def _run_ws(self):
         import websockets

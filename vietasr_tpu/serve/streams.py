@@ -1,0 +1,117 @@
+"""Multi-stream online serving: N concurrent real-time streams per chip.
+
+`OnlineTranscriber._step` is a pure function of (state, chunk), so N
+streams batch by simply vmapping it: states stack into batched pytrees and
+one TPU dispatch advances every live stream by one chunk. A slot manager
+assigns websocket sessions to slots; idle slots are fed silence (their
+outputs are ignored) so shapes stay static.
+
+Incremental text: each slot carries a greedy-collapse state (last emitted
+argmax id) so partial transcripts stream out as frames are emitted.
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vietasr_tpu.streaming_online import OnlineTranscriber
+
+
+class IncrementalGreedy:
+    """Greedy CTC collapse across chunk boundaries."""
+
+    def __init__(self, labels, blank: int):
+        self.labels = labels
+        self.blank = blank
+        self.last = -1
+        self.ids: List[int] = []
+
+    def feed(self, log_probs: np.ndarray) -> str:
+        """Feed (T, V) new frames; returns newly emitted text."""
+        new: List[int] = []
+        for p in np.argmax(log_probs, axis=-1):
+            p = int(p)
+            if p != self.last and p != self.blank:
+                new.append(p)
+            self.last = p
+        self.ids.extend(new)
+        return "".join(self.labels[i] for i in new)
+
+    @property
+    def text(self) -> str:
+        return "".join(self.labels[i] for i in self.ids)
+
+
+class StreamPool:
+    """Fixed pool of streaming slots advanced by one vmapped TPU step."""
+
+    def __init__(self, transcriber: OnlineTranscriber, *, slots: int = 8,
+                 chunk_samples: int = 3200):
+        self.ot = transcriber
+        self.slots = slots
+        self.chunk_samples = chunk_samples
+        self._vstep = jax.jit(jax.vmap(transcriber._step_impl))
+        single = transcriber.init_state()
+        self.states = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (slots,) + x.shape), single)
+        self._single_template = single
+        self.decoders: Dict[int, IncrementalGreedy] = {}
+        self.skip: Dict[int, int] = {}
+        self._free = list(range(slots))
+        self._lock = threading.Lock()
+
+    def open(self) -> Optional[int]:
+        """Claim a slot for a new stream; None if the pool is full."""
+        with self._lock:
+            if not self._free:
+                return None
+            slot = self._free.pop()
+        self._reset_slot(slot)
+        self.decoders[slot] = IncrementalGreedy(
+            self.ot.cfg.labels, self.ot.cfg.num_classes)
+        self.skip[slot] = self.ot.prefix_frames
+        return slot
+
+    def close(self, slot: int) -> str:
+        """Release a slot; returns its final transcript."""
+        text = self.decoders[slot].text if slot in self.decoders else ""
+        with self._lock:
+            self.decoders.pop(slot, None)
+            self.skip.pop(slot, None)
+            self._free.append(slot)
+        return text
+
+    def _reset_slot(self, slot: int):
+        fresh = self._single_template
+        self.states = jax.tree_util.tree_map(
+            lambda batched, s: batched.at[slot].set(s), self.states, fresh)
+
+    def feed(self, inputs: Dict[int, np.ndarray]) -> Dict[int, str]:
+        """Advance ALL slots one chunk; `inputs` maps slot -> audio chunk
+        (exactly chunk_samples long). Slots without input get silence.
+        Returns newly emitted text per fed slot."""
+        batch = np.zeros((self.slots, self.chunk_samples), np.float32)
+        for slot, chunk in inputs.items():
+            if len(chunk) != self.chunk_samples:
+                raise ValueError(
+                    f"chunk must be exactly {self.chunk_samples} samples")
+            batch[slot] = chunk
+        self.states, lp = self._vstep(self.states, jnp.asarray(batch))
+        lp = np.asarray(lp)
+        out: Dict[int, str] = {}
+        for slot in inputs:
+            frames = lp[slot]
+            drop = min(self.skip.get(slot, 0), len(frames))
+            if drop:
+                self.skip[slot] -= drop
+                frames = frames[drop:]
+            if len(frames):
+                out[slot] = self.decoders[slot].feed(frames)
+            else:
+                out[slot] = ""
+        return out
