@@ -21,7 +21,6 @@ so TrainState/checkpointing work unchanged.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Optional, Tuple
 
 import jax

@@ -82,8 +82,7 @@ def prefix_beam_search(
             return 0.0
         return alpha * lm.log_prob(w, words) + beta
 
-    beams: Dict[tuple, _Beam] = {(): _Beam()}
-    beams = {b.key(): b for b in [_Beam()]}
+    beams: Dict[tuple, _Beam] = {b.key(): b for b in [_Beam()]}
 
     for t in range(t_max):
         lp = log_probs[t]

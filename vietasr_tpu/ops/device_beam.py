@@ -162,10 +162,9 @@ def device_beam_search(
         m_pb = seg_lse(s_pb)
         m_pnb = seg_lse(s_pnb)
         # representative (first of each run) carries parent/char/lm state
-        seg_of_first = seg
         rep_total = jnp.where(
             first,
-            jnp.take_along_axis(_logsumexp2(m_pb, m_pnb), seg_of_first,
+            jnp.take_along_axis(_logsumexp2(m_pb, m_pnb), seg,
                                 axis=1) + s_lm,
             NEG)
 

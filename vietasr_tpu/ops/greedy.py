@@ -11,7 +11,7 @@ __ctc_decoder_predictions_tensor collapse loop (helpers.py:7-33).
 
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import List, Optional, Sequence
 
 import jax.numpy as jnp
 import numpy as np
@@ -40,11 +40,12 @@ def ids_to_text(ids: Sequence[int], labels: Sequence[str]) -> str:
     return "".join(labels[i] for i in ids)
 
 
-def ctc_collapse(pred_ids: Sequence[int], *, blank: int) -> List[int]:
+def ctc_collapse(pred_ids: Sequence[int], *, blank: int,
+                 prev: Optional[int] = None) -> List[int]:
     """Plain collapse of a raw (uncollapsed) argmax sequence — the reference
-    helpers.py:7-33 loop, kept as the slow oracle for tests."""
+    helpers.py:7-33 loop. `prev` carries the last frame across chunk
+    boundaries for incremental decoding."""
     out: List[int] = []
-    prev = None
     for p in pred_ids:
         if p != prev and p != blank:
             out.append(int(p))

@@ -194,20 +194,14 @@ class AsrServer:
                     if out.get(slot):
                         await websocket.send(json.dumps(
                             {"partial": out[slot]}, ensure_ascii=False))
-            # flush: pad tail + push silence to drain the lookahead
+            # flush: pad tail + drain the model lookahead with silence
             if buf:
                 pad = buf + b"\x00" * (chunk_bytes - len(buf))
                 samples = np.frombuffer(pad, "<i2").astype(np.float32) \
                     / 32768.0
                 await loop.run_in_executor(
                     None, self.stream_pool.feed, {slot: samples})
-            silence = np.zeros(self.stream_pool.chunk_samples, np.float32)
-            prefix = self.stream_pool.ot.prefix_frames
-            frames_per_chunk = self.stream_pool.chunk_samples // \
-                (self.stream_pool.ot.cfg.featurizer.hop_length * 2)
-            for _ in range(prefix // max(frames_per_chunk, 1) + 1):
-                await loop.run_in_executor(
-                    None, self.stream_pool.feed, {slot: silence})
+            await loop.run_in_executor(None, self.stream_pool.flush, slot)
         finally:
             final = self.stream_pool.close(slot)
             try:

@@ -33,12 +33,12 @@ class IncrementalGreedy:
 
     def feed(self, log_probs: np.ndarray) -> str:
         """Feed (T, V) new frames; returns newly emitted text."""
-        new: List[int] = []
-        for p in np.argmax(log_probs, axis=-1):
-            p = int(p)
-            if p != self.last and p != self.blank:
-                new.append(p)
-            self.last = p
+        from vietasr_tpu.ops.greedy import ctc_collapse
+
+        preds = np.argmax(log_probs, axis=-1)
+        new = ctc_collapse(preds, blank=self.blank, prev=self.last)
+        if len(preds):
+            self.last = int(preds[-1])
         self.ids.extend(new)
         return "".join(self.labels[i] for i in new)
 
@@ -90,6 +90,21 @@ class StreamPool:
         fresh = self._single_template
         self.states = jax.tree_util.tree_map(
             lambda batched, s: batched.at[slot].set(s), self.states, fresh)
+
+    def flush(self, slot: int) -> str:
+        """Drain the model's lookahead by feeding silence until the frames
+        for all real audio have been emitted; returns the text that
+        surfaced during the drain."""
+        from vietasr_tpu.streaming import encoder_stride
+
+        stride = encoder_stride(self.ot.cfg.encoder)
+        frames_per_chunk = self.chunk_samples // \
+            (self.ot.cfg.featurizer.hop_length * stride)
+        silence = np.zeros(self.chunk_samples, np.float32)
+        emitted = []
+        for _ in range(self.ot.prefix_frames // max(frames_per_chunk, 1) + 1):
+            emitted.append(self.feed({slot: silence})[slot])
+        return "".join(emitted)
 
     def feed(self, inputs: Dict[int, np.ndarray]) -> Dict[int, str]:
         """Advance ALL slots one chunk; `inputs` maps slot -> audio chunk
