@@ -101,6 +101,11 @@ def cmd_train(args) -> int:
     from vietasr_tpu.train import (CheckpointManager, TrainState,
                                    Trainer, make_optimizer, make_schedule)
 
+    from vietasr_tpu.parallel import initialize_multihost
+
+    topo = initialize_multihost(
+        coordinator_address=args.coordinator_address,
+        num_processes=args.num_processes, process_id=args.process_id)
     cfg = load_config(args.config)
     tok = CharTokenizer(cfg.labels)
     entries = read_manifest(args.train_manifest,
@@ -109,9 +114,12 @@ def cmd_train(args) -> int:
     ds = AudioTextDataset(entries, tok,
                           sample_rate=cfg.featurizer.sample_rate,
                           trim=cfg.data.trim_silence)
+    # per-host manifest shard (reference DistributedSampler equivalent)
     batcher = BucketBatcher(ds, args.batch_size,
                             max_duration=cfg.data.max_duration or 16.7,
-                            seed=args.seed)
+                            seed=args.seed,
+                            shard_id=topo["process_index"],
+                            num_shards=topo["process_count"])
 
     steps_per_epoch = max(len(ds) // args.batch_size, 1)
     total = args.num_epochs * steps_per_epoch
@@ -244,6 +252,10 @@ def main(argv=None) -> int:
     p.add_argument("--compute-dtype", default=None,
                    choices=[None, "bfloat16", "float32"],
                    help="bf16 mixed precision (Apex AMP equivalent)")
+    # multi-host launch (reference --local_rank + env:// equivalent)
+    p.add_argument("--coordinator-address", default=None)
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--log-every", type=int, default=10)
     p.add_argument("--eval-every", type=int, default=0)

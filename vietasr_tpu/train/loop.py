@@ -238,7 +238,12 @@ class Trainer:
 
     def evaluate(self, state: TrainState, batcher: Iterable) -> dict:
         """Greedy-decode eval with corpus WER/CER (reference
-        process_evaluation_epoch, helpers.py:175-204)."""
+        process_evaluation_epoch, helpers.py:175-204). In multi-host runs
+        each process evaluates its manifest shard and the edit/token counts
+        are summed across hosts (replacing the reference's padded
+        all_gather of raw tensors, actions.py:584-616)."""
+        from vietasr_tpu.train.metrics import levenshtein
+
         labels = self.cfg.labels
         hyps, refs, losses = [], [], []
         for batch in batcher:
@@ -253,11 +258,32 @@ class Trainer:
                 hyps.append(ids_to_text(ids, labels))
                 refs.append("".join(
                     labels[t] for t in batch.tokens[i, : batch.token_lens[i]]))
+
+        def counts(use_cer):
+            edits = tokens = 0
+            for h, r in zip(hyps, refs):
+                h_l = list(h) if use_cer else h.split()
+                r_l = list(r) if use_cer else r.split()
+                edits += levenshtein(h_l, r_l)
+                tokens += len(r_l)
+            return edits, tokens
+
+        from vietasr_tpu.parallel.distributed import gather_eval_results
+
+        w_e, w_t = counts(False)
+        c_e, c_t = counts(True)
+        local = np.asarray(
+            [w_e, w_t, c_e, c_t, len(hyps),
+             float(np.sum(losses)) if losses else 0.0, len(losses)],
+            np.float64)
+        total = np.asarray(gather_eval_results(local))
+        if total.ndim == 2:        # (hosts, 7) in multi-host runs
+            total = total.sum(axis=0)
         result = {
-            "eval_loss": float(np.mean(losses)) if losses else float("nan"),
-            "wer": word_error_rate(hyps, refs),
-            "cer": word_error_rate(hyps, refs, use_cer=True),
-            "num_utts": len(hyps),
+            "eval_loss": float(total[5] / max(total[6], 1)),
+            "wer": float(total[0] / total[1]) if total[1] else float("inf"),
+            "cer": float(total[2] / total[3]) if total[3] else float("inf"),
+            "num_utts": int(total[4]),
         }
         self.history.append(result)
         return result
