@@ -1,0 +1,198 @@
+"""Attention seq2seq infrastructure (RNN encoder/decoder + generators).
+
+Capability port of the reference common backend pieces the LAS experiments
+build on: EncoderRNN/DecoderRNN (nemo/backends/pytorch/common/rnn.py:32,197),
+Attention (common/parts.py:9), SequenceEmbedding (common/other.py:17), and
+the autoregressive GreedySearch/BeamSearch generators (common/search.py:14,88).
+
+TPU-first shape: GRU steps run under lax.scan with static lengths + masks;
+the autoregressive generators scan over a fixed max_len with finished-beam
+freezing (no dynamic shapes, batch > 1 throughout — the reference's
+generators are batch-capable too but eager).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from vietasr_tpu.models.layers import xavier_uniform
+
+
+def _gru_init(rng, in_dim: int, hidden: int):
+    k1, k2, k3 = jax.random.split(rng, 3)
+    return {
+        "wi": xavier_uniform(k1, (in_dim, 3 * hidden), in_dim, 3 * hidden),
+        "wh": xavier_uniform(k2, (hidden, 3 * hidden), hidden, 3 * hidden),
+        "bi": jnp.zeros((3 * hidden,), jnp.float32),
+        "bh": jnp.zeros((3 * hidden,), jnp.float32),
+    }
+
+
+def _gru_step(p, h, x):
+    """Standard GRU cell (torch gate ordering: reset, update, new)."""
+    gi = x @ p["wi"] + p["bi"]
+    gh = h @ p["wh"] + p["bh"]
+    i_r, i_z, i_n = jnp.split(gi, 3, axis=-1)
+    h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
+    r = jax.nn.sigmoid(i_r + h_r)
+    z = jax.nn.sigmoid(i_z + h_z)
+    n = jnp.tanh(i_n + r * h_n)
+    return (1 - z) * n + z * h
+
+
+def init_encoder_rnn(rng, in_dim: int, hidden: int):
+    return {"gru": _gru_init(rng, in_dim, hidden)}
+
+
+def encoder_rnn_apply(params, x, lengths):
+    """x (B, T, D) -> (outputs (B, T, H), final_state (B, H)); padded steps
+    hold the state (masked scan)."""
+    b, t, _ = x.shape
+    hidden = params["gru"]["wh"].shape[0]
+
+    def step(h, inp):
+        x_t, valid = inp
+        h_new = _gru_step(params["gru"], h, x_t)
+        h = jnp.where(valid[:, None], h_new, h)
+        return h, h
+
+    valid = (jnp.arange(t)[None, :] < lengths[:, None]).T       # (T, B)
+    h0 = jnp.zeros((b, hidden), x.dtype)
+    h_final, outs = jax.lax.scan(step, h0, (jnp.swapaxes(x, 0, 1), valid))
+    return jnp.swapaxes(outs, 0, 1), h_final
+
+
+def init_attention(rng, hidden: int):
+    return {"w": xavier_uniform(rng, (hidden, hidden), hidden, hidden)}
+
+
+def attention_apply(params, query, keys, key_lengths):
+    """Luong general attention: query (B, H), keys (B, S, H) ->
+    (context (B, H), weights (B, S)) with length masking
+    (reference Attention, common/parts.py:9-51)."""
+    scores = jnp.einsum("bh,bsh->bs", query @ params["w"], keys)
+    mask = jnp.arange(keys.shape[1])[None, :] < key_lengths[:, None]
+    scores = jnp.where(mask, scores, -1e30)
+    weights = jax.nn.softmax(scores, axis=-1)
+    context = jnp.einsum("bs,bsh->bh", weights, keys)
+    return context, weights
+
+
+def init_decoder_rnn(rng, vocab: int, hidden: int):
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
+    return {
+        "embed": 0.1 * jax.random.normal(k1, (vocab, hidden)),
+        "gru": _gru_init(k2, hidden, hidden),
+        "attn": init_attention(k3, hidden),
+        "out": {"w": xavier_uniform(k4, (2 * hidden, vocab),
+                                    2 * hidden, vocab),
+                "b": jnp.zeros((vocab,), jnp.float32)},
+    }
+
+
+def decoder_rnn_step(params, h, token, enc_outputs, enc_lengths):
+    """One autoregressive step -> (new_h, log_probs (B, V))."""
+    emb = params["embed"][token]                                # (B, H)
+    h = _gru_step(params["gru"], h, emb)
+    context, _ = attention_apply(params["attn"], h, enc_outputs, enc_lengths)
+    logits = jnp.concatenate([h, context], axis=-1) @ params["out"]["w"] \
+        + params["out"]["b"]
+    return h, jax.nn.log_softmax(logits, axis=-1)
+
+
+def decoder_rnn_apply(params, targets, init_state, enc_outputs, enc_lengths):
+    """Teacher-forced decode: targets (B, L) -> log_probs (B, L, V)."""
+
+    def step(h, tok):
+        h, lp = decoder_rnn_step(params, h, tok, enc_outputs, enc_lengths)
+        return h, lp
+
+    _, lps = jax.lax.scan(step, init_state, jnp.swapaxes(targets, 0, 1))
+    return jnp.swapaxes(lps, 0, 1)
+
+
+# ---------------------------------------------------------------------------
+# autoregressive generators (reference common/search.py)
+
+
+def greedy_generate(params, init_state, enc_outputs, enc_lengths, *,
+                    bos_id: int, eos_id: int, max_len: int):
+    """GreedySearch equivalent: (tokens (B, max_len), lengths (B,))."""
+    b = enc_outputs.shape[0]
+
+    def step(carry, _):
+        h, tok, done, length = carry
+        h_new, lp = decoder_rnn_step(params, h, tok, enc_outputs,
+                                     enc_lengths)
+        nxt = jnp.argmax(lp, axis=-1).astype(jnp.int32)
+        nxt = jnp.where(done, eos_id, nxt)
+        h = jnp.where(done[:, None], h, h_new)
+        new_done = done | (nxt == eos_id)
+        length = length + jnp.where(done, 0, 1)
+        return (h, nxt, new_done, length), nxt
+
+    init = (init_state, jnp.full((b,), bos_id, jnp.int32),
+            jnp.zeros((b,), bool), jnp.zeros((b,), jnp.int32))
+    (_, _, _, lengths), toks = jax.lax.scan(step, init, None,
+                                            length=max_len)
+    return jnp.swapaxes(toks, 0, 1), lengths
+
+
+def beam_generate(params, init_state, enc_outputs, enc_lengths, *,
+                  bos_id: int, eos_id: int, max_len: int, beam_width: int,
+                  len_penalty: float = 0.0):
+    """BeamSearch equivalent: returns the best (tokens (B, max_len),
+    scores (B,)). Beams are a flattened (B*W) batch under one scan."""
+    b, s, h_dim = enc_outputs.shape
+    w = beam_width
+    vocab = params["out"]["b"].shape[0]
+
+    def tile(x):
+        return jnp.repeat(x, w, axis=0)
+
+    enc_t = tile(enc_outputs)
+    len_t = tile(enc_lengths)
+    h0 = tile(init_state)
+    # beam 0 live, others dead so the first expansion seeds distinct tokens
+    scores0 = jnp.tile(jnp.asarray([0.0] + [-1e30] * (w - 1)), b)
+
+    def step(carry, t):
+        h, tok, scores, done, toks_so_far = carry
+        h_new, lp = decoder_rnn_step(params, h, tok, enc_t, len_t)  # (BW, V)
+        lp = jnp.where(done[:, None],
+                       jax.nn.one_hot(eos_id, vocab) * 0.0
+                       + jnp.where(jnp.arange(vocab) == eos_id, 0.0, -1e30),
+                       lp)
+        cand = scores[:, None] + lp                                # (BW, V)
+        cand = cand.reshape(b, w * vocab)
+        top_scores, top_idx = jax.lax.top_k(cand, w)               # (B, W)
+        parent = top_idx // vocab                                  # (B, W)
+        token = (top_idx % vocab).astype(jnp.int32)
+        flat_parent = (parent
+                       + jnp.arange(b)[:, None] * w).reshape(b * w)
+        h = jnp.where(done[flat_parent][:, None], h[flat_parent],
+                      h_new[flat_parent])
+        new_done = done[flat_parent] | (token.reshape(-1) == eos_id)
+        toks_so_far = toks_so_far[flat_parent].at[:, t].set(
+            token.reshape(-1))
+        return (h, token.reshape(-1), top_scores.reshape(-1), new_done,
+                toks_so_far), None
+
+    init = (h0, jnp.full((b * w,), bos_id, jnp.int32), scores0,
+            jnp.zeros((b * w,), bool),
+            jnp.zeros((b * w, max_len), jnp.int32))
+    (h, tok, scores, done, toks), _ = jax.lax.scan(
+        step, init, jnp.arange(max_len))
+
+    lengths = jnp.sum((toks != eos_id) & (toks != 0), axis=1)
+    if len_penalty:
+        scores = scores / ((lengths.astype(jnp.float32) + 1e-6)
+                           ** len_penalty)
+    scores = scores.reshape(b, w)
+    best = jnp.argmax(scores, axis=1)
+    toks = toks.reshape(b, w, max_len)
+    return (jnp.take_along_axis(toks, best[:, None, None], axis=1)[:, 0],
+            jnp.take_along_axis(scores, best[:, None], axis=1)[:, 0])
