@@ -245,8 +245,15 @@ def conformer_apply(
     training: bool = False,
     rng: Optional[jax.Array] = None,
     compute_dtype=None,
+    remat: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, dict]:
-    """feats (B, T, F) -> (log_probs (B, T', V+1), out_lens, new_stats)."""
+    """feats (B, T, F) -> (log_probs (B, T', V+1), out_lens, new_stats).
+
+    remat=True wraps each block in jax.checkpoint (rematerialization):
+    activations are recomputed in the backward pass instead of stored,
+    trading ~30% step FLOPs for O(num_blocks) less HBM — the standard
+    lever for training configs that outgrow one chip's memory
+    (complementary to the 'model'-axis TP in parallel/tp.py)."""
     params = variables["params"]
     stats = variables["batch_stats"]
     cast = (lambda a: a.astype(compute_dtype)) if compute_dtype \
@@ -264,20 +271,25 @@ def conformer_apply(
 
     new_stats = {"blocks": []}
     rate = cfg.dropout
-    for bi, bp in enumerate(params["blocks"]):
-        rng, r1a, r1b, r2, r3, r4a, r4b = jax.random.split(rng, 7)
+
+    def one_block(x, bp, bstat, keys):
+        r1a, r1b, r2, r3, r4a, r4b = keys
         x = x + 0.5 * dropout(_ffn(x, bp["ff1"], rate, r1a, training, cast),
                               rate, r1b, training)
         attn = _mhsa(_layernorm(x, bp["mhsa"]["ln"]), bp["mhsa"], mask,
                      cfg, pos_enc, cast)
         x = x + dropout(attn, rate, r2, training)
-        conv, s = _conv_module(x, bp["conv"], stats["blocks"][bi], lens,
-                               training, cast)
+        conv, s = _conv_module(x, bp["conv"], bstat, lens, training, cast)
         x = x + dropout(conv, rate, r3, training)
-        new_stats["blocks"].append(s)
         x = x + 0.5 * dropout(_ffn(x, bp["ff2"], rate, r4a, training, cast),
                               rate, r4b, training)
-        x = _layernorm(x, bp["final_ln"])
+        return _layernorm(x, bp["final_ln"]), s
+
+    block_call = jax.checkpoint(one_block) if remat else one_block
+    for bi, bp in enumerate(params["blocks"]):
+        rng, *ks = jax.random.split(rng, 7)
+        x, s = block_call(x, bp, stats["blocks"][bi], tuple(ks))
+        new_stats["blocks"].append(s)
 
     logits = _linear(x, params["decoder"], cast)
     log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
