@@ -133,12 +133,11 @@ def device_beam_search(
                       char_ids.reshape(bsz, w * k_c))
 
         # ---- merge candidates with equal prefix hash ----
-        order = jnp.argsort(c_hash, axis=1)
-        take = lambda a: jnp.take_along_axis(a, order, axis=1)
-        s_hash = take(c_hash)
-        s_pb, s_pnb = take(c_pb), take(c_pnb)
-        s_lm, s_row = take(c_lm), take(c_row)
-        s_parent, s_char = take(c_parent), take(c_char)
+        # one multi-operand stable sort carries all payloads with the keys
+        # (cheaper than argsort + 7 gathers)
+        (s_hash, s_pb, s_pnb, s_lm, s_row, s_parent, s_char) = jax.lax.sort(
+            (c_hash, c_pb, c_pnb, c_lm, c_row, c_parent, c_char),
+            dimension=1, num_keys=1, is_stable=True)
 
         first = jnp.concatenate(
             [jnp.ones((bsz, 1), bool), s_hash[:, 1:] != s_hash[:, :-1]],
