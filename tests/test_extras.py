@@ -37,6 +37,22 @@ def test_kaldi_ark_roundtrip(tmp_path):
     np.testing.assert_allclose(got_scp["utt2"], records["utt2"])
 
 
+def test_kaldi_compressed_roundtrip(tmp_path):
+    from vietasr_tpu.audio.kaldi import write_compressed_ark
+
+    rng = np.random.RandomState(2)
+    records = {"u1": (rng.randn(50, 13) * 3).astype(np.float32),
+               "u2": (rng.rand(8, 13) * 10 - 5).astype(np.float32)}
+    ark = str(tmp_path / "c.ark")
+    write_compressed_ark(ark, records)
+    got = dict(read_ark(ark))
+    for k, want in records.items():
+        # lossy 8-bit per-column quantization: tolerance ~ segment width
+        scale = want.max() - want.min()
+        err = np.abs(got[k] - want).max()
+        assert err < 0.02 * scale, (k, err, scale)
+
+
 def test_kaldi_feature_dataset(tmp_path):
     rng = np.random.RandomState(1)
     records = {"a": rng.randn(10, 8).astype(np.float32),

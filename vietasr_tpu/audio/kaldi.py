@@ -33,9 +33,11 @@ def _read_matrix(f) -> np.ndarray:
                          "(text-format arks are not supported)")
     mtype = _read_token(f)
     if mtype == b"CM":
+        return _read_compressed(f)
+    if mtype in (b"CM2", b"CM3"):
         raise NotImplementedError(
-            "compressed kaldi matrices (CM) not supported; regenerate with "
-            "--compress=false")
+            f"kaldi compression variant {mtype!r} not supported (only the "
+            "default per-column-percentile 'CM' format)")
     if mtype not in (b"FM", b"DM"):
         raise ValueError(f"unsupported kaldi matrix type {mtype!r}")
     dtype = np.float32 if mtype == b"FM" else np.float64
@@ -48,6 +50,55 @@ def _read_matrix(f) -> np.ndarray:
     rows, cols = read_dim(), read_dim()
     data = np.frombuffer(f.read(rows * cols * dtype().itemsize), dtype=dtype)
     return data.reshape(rows, cols).astype(np.float32)
+
+
+def _read_compressed(f) -> np.ndarray:
+    """Kaldi 'CM' CompressedMatrix: global {min, range, rows, cols}, then a
+    per-column header of four uint16 percentiles (0/25/75/100) and one uint8
+    per element, piecewise-linearly mapped within the percentile segments."""
+    min_value, value_range = struct.unpack("<ff", f.read(8))
+    rows, cols = struct.unpack("<ii", f.read(8))
+    headers = np.frombuffer(f.read(cols * 8), dtype="<u2").reshape(cols, 4)
+    data = np.frombuffer(f.read(rows * cols), dtype=np.uint8) \
+        .reshape(cols, rows)                       # column-major
+    p = min_value + value_range * (headers.astype(np.float64) / 65535.0)
+    p0, p25, p75, p100 = p[:, 0:1], p[:, 1:2], p[:, 2:3], p[:, 3:4]
+    c = data.astype(np.float64)
+    out = np.where(
+        c <= 64, p0 + (p25 - p0) * c / 64.0,
+        np.where(c <= 192, p25 + (p75 - p25) * (c - 64) / 128.0,
+                 p75 + (p100 - p75) * (c - 192) / 63.0))
+    return out.T.astype(np.float32)                # (rows, cols)
+
+
+def write_compressed_ark(path: str, records: Dict[str, np.ndarray]) -> None:
+    """Write 'CM'-compressed records (lossy, ~1 byte/element), for tests and
+    interchange with kaldi tooling that expects --compress=true arks."""
+    with open(path, "wb") as f:
+        for key, mat in records.items():
+            mat = np.ascontiguousarray(mat, np.float64)
+            rows, cols = mat.shape
+            mn = float(mat.min())
+            rng = max(float(mat.max()) - mn, 1e-10)
+            f.write(key.encode("utf-8") + b" \x00BCM ")
+            f.write(struct.pack("<ffii", mn, rng, rows, cols))
+            to_u16 = lambda v: np.clip(
+                np.round((v - mn) / rng * 65535.0), 0, 65535).astype("<u2")
+            pct = np.percentile(mat, [0, 25, 75, 100], axis=0)   # (4, cols)
+            # quantize the percentiles exactly as they will be decoded
+            pct_q = mn + rng * (to_u16(pct).astype(np.float64) / 65535.0)
+            headers = to_u16(pct).T.copy()                       # (cols, 4)
+            f.write(headers.astype("<u2").tobytes())
+            p0, p25, p75, p100 = (pct_q[i][None, :] for i in range(4))
+            x = mat
+            seg1 = np.clip((x - p0) / np.maximum(p25 - p0, 1e-10), 0, 1) * 64
+            seg2 = 64 + np.clip((x - p25) / np.maximum(p75 - p25, 1e-10),
+                                0, 1) * 128
+            seg3 = 192 + np.clip((x - p75) / np.maximum(p100 - p75, 1e-10),
+                                 0, 1) * 63
+            codes = np.where(x <= p25, seg1, np.where(x <= p75, seg2, seg3))
+            codes = np.clip(np.round(codes), 0, 255).astype(np.uint8)
+            f.write(codes.T.tobytes())             # column-major
 
 
 def read_ark(path: str) -> Iterator[Tuple[str, np.ndarray]]:
