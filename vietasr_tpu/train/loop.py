@@ -56,6 +56,10 @@ def make_loss_fn(cfg: ModelConfig, *, use_specaug: bool = True,
     blank = cfg.num_classes
 
     def loss_fn(params, batch_stats, batch, rng, training: bool):
+        from vietasr_tpu.utils.typing import assert_audio_batch, assert_labels
+
+        assert_audio_batch(batch["signal"], batch["signal_lens"])
+        assert_labels(batch["tokens"], batch["token_lens"])
         variables = {"params": params, "batch_stats": batch_stats}
         r_dither, r_aug, r_drop = jax.random.split(rng, 3)
         feats, flens = featurize(batch["signal"], batch["signal_lens"],
@@ -187,6 +191,9 @@ class Trainer:
     profile_dir: Optional[str] = None
     profile_start: int = 10
     profile_stop: int = 13
+    # log a sample hyp/ref + batch WER every log_every steps (reference
+    # monitor_asr_train_progress, helpers.py:36-78)
+    monitor_progress: bool = False
 
     def __post_init__(self):
         dtype = jnp.dtype(self.compute_dtype) if self.compute_dtype else None
@@ -222,6 +229,8 @@ class Trainer:
                     m = {k: float(v) for k, v in metrics.items()}
                     m.update(step=step, epoch=epoch,
                              step_time=time.time() - t0)
+                    if self.monitor_progress:
+                        m.update(self._progress_sample(state, batch))
                     self.history.append(m)
                     for cb in self.callbacks:
                         cb(self, m)
@@ -235,6 +244,26 @@ class Trainer:
             self.history.append({"epoch": epoch,
                                  "epoch_time": time.time() - t_epoch})
         return state
+
+    def _progress_sample(self, state: TrainState, batch) -> dict:
+        """Decode the current training batch and report one hyp/ref pair +
+        batch WER (reference monitor_asr_train_progress)."""
+        labels = self.cfg.labels
+        out = self._eval_step(state.params, state.batch_stats,
+                              batch_to_arrays(batch))
+        seqs = collapse_batch(np.asarray(out["preds"]),
+                              np.asarray(out["keep"]))
+        hyps, refs = [], []
+        for i, ids in enumerate(seqs):
+            if batch.signal_lens[i] == 0:
+                continue
+            hyps.append(ids_to_text(ids, labels))
+            refs.append("".join(
+                labels[t] for t in batch.tokens[i, : batch.token_lens[i]]))
+        if not hyps:
+            return {}
+        return {"train_wer": word_error_rate(hyps, refs),
+                "sample_hyp": hyps[0], "sample_ref": refs[0]}
 
     def evaluate(self, state: TrainState, batcher: Iterable) -> dict:
         """Greedy-decode eval with corpus WER/CER (reference
