@@ -55,6 +55,100 @@ class _Beam:
         return (self.words, self.partial, self.last_char)
 
 
+class StreamingPrefixBeam:
+    """Stateful prefix beam search: feed log-prob chunks as they arrive,
+    read the current best hypothesis at any point. `prefix_beam_search`
+    (the whole-utterance oracle) is feed-everything + best()."""
+
+    def __init__(self, labels: Sequence[str], *, beam_width: int = 100,
+                 lm: Optional[NGramLM] = None, alpha: float = 0.5,
+                 beta: float = 1.5, token_min_logp: float = -10.0,
+                 space: str = " "):
+        self.labels = list(labels)
+        self.beam_width = beam_width
+        self.lm = lm
+        self.alpha = alpha
+        self.beta = beta
+        self.token_min_logp = token_min_logp
+        self.space_id = self.labels.index(space) if space in self.labels \
+            else -1
+        self.beams: Dict[tuple, _Beam] = {b.key(): b for b in [_Beam()]}
+
+    def _lm_word_score(self, words: Tuple[str, ...], w: str) -> float:
+        if self.lm is None or not w:
+            return 0.0
+        return self.alpha * self.lm.log_prob(w, words) + self.beta
+
+    def feed(self, log_probs: np.ndarray) -> None:
+        """Advance over (T, V+1) new frames (blank = last column)."""
+        v = log_probs.shape[1]
+        blank = v - 1
+        for t in range(log_probs.shape[0]):
+            lp = log_probs[t]
+            # token pruning: always keep blank
+            cand = [c for c in range(v)
+                    if lp[c] >= self.token_min_logp or c == blank]
+            next_beams: Dict[tuple, _Beam] = {}
+
+            def bump(key, words, partial, last_char, lm_score, *,
+                     add_b=NEG_INF, add_nb=NEG_INF):
+                nb = next_beams.get(key)
+                if nb is None:
+                    nb = _Beam(words=words, partial=partial,
+                               last_char=last_char, p_b=NEG_INF,
+                               p_nb=NEG_INF, lm_score=lm_score)
+                    next_beams[key] = nb
+                nb.p_b = _logsumexp2(nb.p_b, add_b)
+                nb.p_nb = _logsumexp2(nb.p_nb, add_nb)
+
+            for beam in self.beams.values():
+                p_tot = _logsumexp2(beam.p_b, beam.p_nb)
+                for c in cand:
+                    p_c = float(lp[c])
+                    if c == blank:
+                        bump(beam.key(), beam.words, beam.partial,
+                             beam.last_char, beam.lm_score,
+                             add_b=p_tot + p_c)
+                        continue
+                    ch = self.labels[c]
+                    if c == beam.last_char:
+                        # repeat: extends p_nb of same prefix
+                        bump(beam.key(), beam.words, beam.partial,
+                             beam.last_char, beam.lm_score,
+                             add_nb=beam.p_nb + p_c)
+                        # after a blank: genuinely new char (doubled letter)
+                        new = _extend(beam, c, ch, self.space_id,
+                                      self._lm_word_score)
+                        bump(new.key(), new.words, new.partial,
+                             new.last_char, new.lm_score,
+                             add_nb=beam.p_b + p_c)
+                    else:
+                        new = _extend(beam, c, ch, self.space_id,
+                                      self._lm_word_score)
+                        bump(new.key(), new.words, new.partial,
+                             new.last_char, new.lm_score,
+                             add_nb=p_tot + p_c)
+
+            ranked = sorted(next_beams.values(), key=_Beam.total,
+                            reverse=True)
+            self.beams = {b.key(): b for b in ranked[:self.beam_width]}
+
+    def best(self) -> str:
+        """Current best hypothesis (trailing partial word LM-scored)."""
+        best, best_score = None, NEG_INF
+        for b in self.beams.values():
+            score = _logsumexp2(b.p_b, b.p_nb) + b.lm_score \
+                + self._lm_word_score(b.words, b.partial)
+            if score > best_score:
+                best, best_score = b, score
+        if best is None:
+            return ""
+        text = " ".join(best.words)
+        if best.partial:
+            text = (text + " " + best.partial) if text else best.partial
+        return text
+
+
 def prefix_beam_search(
     log_probs: np.ndarray,
     labels: Sequence[str],
@@ -73,71 +167,11 @@ def prefix_beam_search(
     trailing partial word is scored the same way at the end (the shallow-
     fusion scheme of the Baidu/DeepSpeech decoder the reference uses).
     """
-    t_max, v = log_probs.shape
-    blank = v - 1
-    space_id = labels.index(space) if space in labels else -1
-
-    def lm_word_score(words: Tuple[str, ...], w: str) -> float:
-        if lm is None or not w:
-            return 0.0
-        return alpha * lm.log_prob(w, words) + beta
-
-    beams: Dict[tuple, _Beam] = {b.key(): b for b in [_Beam()]}
-
-    for t in range(t_max):
-        lp = log_probs[t]
-        # token pruning: always keep blank
-        cand = [c for c in range(v) if lp[c] >= token_min_logp or c == blank]
-        next_beams: Dict[tuple, _Beam] = {}
-
-        def bump(key, words, partial, last_char, lm_score, *, add_b=NEG_INF,
-                 add_nb=NEG_INF):
-            nb = next_beams.get(key)
-            if nb is None:
-                nb = _Beam(words=words, partial=partial, last_char=last_char,
-                           p_b=NEG_INF, p_nb=NEG_INF, lm_score=lm_score)
-                next_beams[key] = nb
-            nb.p_b = _logsumexp2(nb.p_b, add_b)
-            nb.p_nb = _logsumexp2(nb.p_nb, add_nb)
-
-        for beam in beams.values():
-            p_tot = _logsumexp2(beam.p_b, beam.p_nb)
-            for c in cand:
-                p_c = float(lp[c])
-                if c == blank:
-                    bump(beam.key(), beam.words, beam.partial, beam.last_char,
-                         beam.lm_score, add_b=p_tot + p_c)
-                    continue
-                ch = labels[c]
-                if c == beam.last_char:
-                    # repeat: extends p_nb of same prefix
-                    bump(beam.key(), beam.words, beam.partial, beam.last_char,
-                         beam.lm_score, add_nb=beam.p_nb + p_c)
-                    # after a blank: genuinely new char (doubled letter)
-                    new = _extend(beam, c, ch, space_id, lm_word_score)
-                    bump(new.key(), new.words, new.partial, new.last_char,
-                         new.lm_score, add_nb=beam.p_b + p_c)
-                else:
-                    new = _extend(beam, c, ch, space_id, lm_word_score)
-                    bump(new.key(), new.words, new.partial, new.last_char,
-                         new.lm_score, add_nb=p_tot + p_c)
-
-        ranked = sorted(next_beams.values(), key=_Beam.total, reverse=True)
-        beams = {b.key(): b for b in ranked[:beam_width]}
-
-    # final: score trailing partial word
-    best, best_score = None, NEG_INF
-    for b in beams.values():
-        score = _logsumexp2(b.p_b, b.p_nb) + b.lm_score \
-            + lm_word_score(b.words, b.partial)
-        if score > best_score:
-            best, best_score = b, score
-    if best is None:
-        return ""
-    text = " ".join(best.words)
-    if best.partial:
-        text = (text + " " + best.partial) if text else best.partial
-    return text
+    dec = StreamingPrefixBeam(labels, beam_width=beam_width, lm=lm,
+                              alpha=alpha, beta=beta,
+                              token_min_logp=token_min_logp, space=space)
+    dec.feed(log_probs)
+    return dec.best()
 
 
 def _extend(beam: _Beam, c: int, ch: str, space_id: int, lm_word_score):

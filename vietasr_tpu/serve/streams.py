@@ -47,14 +47,56 @@ class IncrementalGreedy:
         return "".join(self.labels[i] for i in self.ids)
 
 
+class IncrementalBeam:
+    """Streaming prefix beam search per slot (beam-quality partials).
+
+    Unlike greedy, the best beam can REVISE earlier output; a revision is
+    emitted as "\\r" + full current hypothesis (clients replace the line).
+    """
+
+    def __init__(self, labels, blank: int, *, beam_width: int = 16,
+                 lm=None, alpha: float = 0.5, beta: float = 1.5):
+        from vietasr_tpu.ops.beam_search import StreamingPrefixBeam
+
+        self._dec = StreamingPrefixBeam(labels, beam_width=beam_width,
+                                        lm=lm, alpha=alpha, beta=beta)
+        self._emitted = ""
+
+    def feed(self, log_probs: np.ndarray) -> str:
+        self._dec.feed(np.asarray(log_probs))
+        cur = self._dec.best()
+        if cur == self._emitted:
+            return ""
+        if cur.startswith(self._emitted):
+            new = cur[len(self._emitted):]
+        else:
+            new = "\r" + cur
+        self._emitted = cur
+        return new
+
+    @property
+    def text(self) -> str:
+        return self._dec.best()
+
+
 class StreamPool:
     """Fixed pool of streaming slots advanced by one vmapped TPU step."""
 
     def __init__(self, transcriber: OnlineTranscriber, *, slots: int = 8,
-                 chunk_samples: int = 3200):
+                 chunk_samples: int = 3200, decoder: str = "greedy",
+                 lm_path: Optional[str] = None, beam_width: int = 16,
+                 lm_alpha: float = 0.5, lm_beta: float = 1.5):
         self.ot = transcriber
         self.slots = slots
         self.chunk_samples = chunk_samples
+        self.decoder_kind = decoder
+        self._lm = None
+        if decoder == "beam" and lm_path:
+            from vietasr_tpu.ops.lm import NGramLM
+
+            self._lm = NGramLM(lm_path)
+        self._beam_kw = dict(beam_width=beam_width, lm=self._lm,
+                             alpha=lm_alpha, beta=lm_beta)
         self._vstep = jax.jit(jax.vmap(transcriber._step_impl))
         single = transcriber.init_state()
         self.states = jax.tree_util.tree_map(
@@ -72,8 +114,13 @@ class StreamPool:
                 return None
             slot = self._free.pop()
         self._reset_slot(slot)
-        self.decoders[slot] = IncrementalGreedy(
-            self.ot.cfg.labels, self.ot.cfg.num_classes)
+        if self.decoder_kind == "beam":
+            self.decoders[slot] = IncrementalBeam(
+                self.ot.cfg.labels, self.ot.cfg.num_classes,
+                **self._beam_kw)
+        else:
+            self.decoders[slot] = IncrementalGreedy(
+                self.ot.cfg.labels, self.ot.cfg.num_classes)
         self.skip[slot] = self.ot.prefix_frames
         return slot
 
