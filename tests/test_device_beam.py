@@ -109,3 +109,123 @@ def test_char_lm_table_row_arithmetic(char_lm):
     # rolling update: row' = (row % (v+1)) * (v+1) + (c+1)
     row2 = (row % (v + 1)) * (v + 1) + (2 + 1)
     assert row2 == context_row_index([1, 2], v, 2)
+
+
+# ---------------------------------------------------------------------------
+# on-device WORD-LM fusion (the reference's production decode configuration:
+# word n-gram + alpha/beta shallow fusion, infer.py:64-67) vs the host oracle
+
+
+@pytest.fixture(scope="module")
+def word_lm(tmp_path_factory):
+    corpus = ["ab cab ba", "ab ba", "cab ab ba c", "ba cab", "c ab"] * 2
+    p = tmp_path_factory.mktemp("wlm") / "word.arpa"
+    train_ngram_arpa(corpus, str(p), order=3, char_level=False)
+    return NGramLM(str(p))
+
+
+def test_word_lm_score_matches_ngram_lm(word_lm):
+    """Device backoff-chain lookup == NGramLM.log_prob for every
+    (context, word) combination over the training vocab + an OOV word."""
+    import jax
+
+    from vietasr_tpu.ops.device_beam import _word_lm_score
+    from vietasr_tpu.ops.lm import word_lm_tables
+
+    labels = ["a", "b", "c", " "]
+    tables, probes = word_lm_tables(word_lm, labels)
+    tables = jax.tree_util.tree_map(jnp.asarray, tables)
+
+    P1, P2 = 1000003, 69069
+    cid = {ch: i for i, ch in enumerate(labels)}
+
+    def whash(word):
+        h1 = 0
+        h2 = 0
+        for ch in word:
+            h1 = (h1 * P1 + cid[ch] + 1) & 0xFFFFFFFF
+            h2 = (h2 * P2 + cid[ch] + 1) & 0xFFFFFFFF
+        return np.uint32(h1), np.uint32(h2)
+
+    words = ["ab", "ba", "cab", "c", "bbb"]          # bbb is OOV
+    ctxs = [(), ("ab",), ("ba",), ("cab", "ab"), ("ab", "ba"),
+            ("bbb",), ("bbb", "ab")]
+    fn = jax.jit(lambda *a: _word_lm_score(tables, probes, *a)[0])
+    for ctx in ctxs:
+        for w in words:
+            c2 = whash(ctx[0]) if len(ctx) == 2 else (np.uint32(0),) * 2
+            c1 = whash(ctx[-1]) if ctx else (np.uint32(0),) * 2
+            wh = whash(w)
+            # the search carries the context backoff weights as state;
+            # here they come straight from the ARPA entries
+            bo1 = word_lm.ngrams.get((ctx[-1],), (0.0, 0.0))[1] \
+                if ctx else 0.0
+            bo2 = word_lm.ngrams.get(ctx, (0.0, 0.0))[1] \
+                if len(ctx) == 2 else 0.0
+            got = float(fn(jnp.asarray(c2[0])[None], jnp.asarray(c2[1])[None],
+                           jnp.asarray(c1[0])[None], jnp.asarray(c1[1])[None],
+                           jnp.asarray(wh[0])[None], jnp.asarray(wh[1])[None],
+                           jnp.asarray(np.float32(bo1))[None],
+                           jnp.asarray(np.float32(bo2))[None])[0])
+            want = word_lm.log_prob(w, ctx)
+            assert abs(got - want) < 1e-4, (ctx, w, got, want)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_device_beam_word_lm_matches_oracle(seed, word_lm):
+    """End-to-end: device beam with hashed word-LM tables == Python prefix
+    beam with the same ARPA LM (wide beams on both sides)."""
+    from vietasr_tpu.ops.lm import word_lm_tables
+
+    rng = np.random.RandomState(100 + seed)
+    labels = ["a", "b", "c", " "]
+    t, v1 = 14, 5
+    lp = softmax_logs(rng, t, v1, scale=1.8)
+    want = prefix_beam_search(lp, labels, beam_width=256, lm=word_lm,
+                              alpha=0.5, beta=1.5, token_min_logp=-50.0)
+    tables, probes = word_lm_tables(word_lm, labels)
+    got = device_beam_transcripts(
+        lp[None], np.array([t]), labels, beam_width=64,
+        word_lm=tables, wlm_probes=probes, space=labels.index(" "),
+        alpha=0.5, beta=1.5)[0]
+    assert " ".join(got.split()) == want, (got, want)
+
+
+def test_device_beam_word_lm_batched(word_lm):
+    from vietasr_tpu.ops.lm import word_lm_tables
+
+    rng = np.random.RandomState(9)
+    labels = ["a", "b", "c", " "]
+    t, v1 = 12, 5
+    lp = np.stack([softmax_logs(rng, t, v1, scale=1.8) for _ in range(3)])
+    lens = np.array([12, 7, 3])
+    tables, probes = word_lm_tables(word_lm, labels)
+    texts = device_beam_transcripts(
+        lp, lens, labels, beam_width=64, word_lm=tables,
+        wlm_probes=probes, space=labels.index(" "), alpha=0.5, beta=1.5)
+    for i in range(3):
+        want = prefix_beam_search(lp[i, : lens[i]], labels, beam_width=256,
+                                  lm=word_lm, alpha=0.5, beta=1.5,
+                                  token_min_logp=-50.0)
+        assert " ".join(texts[i].split()) == want, i
+
+
+def test_pipeline_device_beam_word_lm_wiring(tmp_path):
+    """Transcriber auto-sniffs a word-level ARPA and routes device_beam
+    through the hashed word-LM tables (short + long-form paths)."""
+    from vietasr_tpu.pipeline import Transcriber, TranscriberOptions
+
+    arpa = tmp_path / "word.arpa"
+    train_ngram_arpa(["xin chào bạn", "chào bạn nhé", "xin bạn"] * 2,
+                     str(arpa), order=3, char_level=False)
+    t = Transcriber(
+        "/root/reference/configs/quartznet12x1_vi.yaml",
+        options=TranscriberOptions(
+            decoder="device_beam", lm_path=str(arpa), beam_width=8,
+            device_beam_cutoff_top_n=4, compute_dtype=None))
+    assert t._device_word_lm is not None     # sniffed as word LM
+    assert t._device_lm_table is None
+    rng = np.random.RandomState(0)
+    text = t.transcribe(rng.randn(16000).astype(np.float32) * 0.05)
+    assert isinstance(text, str)
+    assert "  " not in text and not text.startswith(" ")

@@ -40,7 +40,9 @@ class SpeedPerturbation(Perturbation):
         self._rng = random.Random() if rng is None else rng
 
     def max_augmentation_length(self, length):
-        return length * self._max_rate
+        # resampling by rate yields ~length/rate samples, so the worst
+        # case (longest output) is the SLOWEST rate, not the fastest
+        return length / self._min_rate
 
     def perturb(self, segment):
         rate = self._rng.uniform(self._min_rate, self._max_rate)

@@ -4,8 +4,9 @@ Reference: KaldiFeatureDataLayer / KaldiFeatureDataset
 (/root/reference/nemo/collections/asr/data_layer.py:193-337,
 parts/dataset.py:175-302) read pre-computed features via kaldi_io. That
 package isn't in this image, so the binary float-matrix ark format is
-implemented directly (uncompressed "FM"/"DM" records; compressed "CM"
-records raise with a clear message).
+implemented directly: uncompressed "FM"/"DM" records plus the compressed
+"CM" format (read and write); the rarer "CM2"/"CM3" variants raise with a
+clear message.
 """
 
 from __future__ import annotations

@@ -224,6 +224,11 @@ def log_mel_features(
     re, im = spec[..., :n_bins], spec[..., n_bins:]
     power = re * re + im * im                                  # |X|^2
     if cfg.mag_power != 2.0:
+        # Deliberate deviation for mag_power != 2: this computes |X|^p.
+        # The reference pows re and im separately then sums (re^p + im^p,
+        # parts/features.py:193-198), which is not a magnitude for p != 2
+        # (and NaNs on negative re/im for fractional p). Parity holds at
+        # the default mag_power=2.0, the only value any shipped config uses.
         power = jnp.power(jnp.sqrt(jnp.maximum(power, 0.0)), cfg.mag_power)
 
     mel = jnp.einsum(

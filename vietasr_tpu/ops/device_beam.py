@@ -1,19 +1,42 @@
-"""Fully on-device batched CTC beam search with dense char-LM fusion.
+"""Fully on-device batched CTC beam search with LM shallow fusion.
 
 The reference's beam search is CPU-pinned, batch-1, with a device->host
 transfer of the whole posterior (beam_search_decoder.py:75-102). This one
 runs under jit on the TPU, batched over utterances, with NO host round
-trip:
+trip.
 
-- fixed beam width W; every step expands all W*(V+1) candidates as dense
-  arrays (MXU/VPU-friendly, no dynamic shapes);
-- prefix merging (the part SURVEY.md §7 flags as awkward in SIMD) is done
-  with rolling-hash equality: sort candidates by a 64-bit-ish rolling hash
-  of the prefix, logsumexp-merge equal-hash runs with segment ops, then
-  top-W;
+TPU-first design notes:
+
+- fixed beam width W; every step expands all W*(K+1) candidates as dense
+  arrays (VPU-friendly, no dynamic shapes);
+- prefix merging (the part SURVEY.md §7 flags as awkward in SIMD) exploits
+  a structural fact: live beams hold DISTINCT prefixes, so two stays can
+  never merge, two single-char extensions of distinct prefixes can never
+  merge, and the only possible merge is stay(j) <- extension(i, c) when
+  prefix_j == prefix_i + [c]. That is a dense (W, W*K) equality test on
+  rolling prefix hashes — a masked logsumexp + top_k, with no sort and no
+  scatter (the previous sort+segment-ops formulation bottlenecked on
+  vmapped segment_max/segment_sum, which lower to serial scatters on TPU);
+- when `space` is given (and no char-LM table is in play), beam identity
+  is the CANONICAL text — leading/trailing/repeated spaces collapse, like
+  pyctcdecode and the Python oracle whose identity is
+  (words, partial, last_char): the rolling hash covers the canonical char
+  sequence (a separator is folded in only when a non-space char starts a
+  new word), a space extension leaves the hash unchanged, and the
+  last-emitted char joins the equality test to keep "c" and "c " distinct;
+- prefixes are identified by TWO independent 32-bit rolling hashes (a
+  64-bit composite — false-merge odds ~(W^2 K)/2^64 per step);
 - char-level n-gram LM shallow fusion reads a dense backoff table
-  (ops/lm.py:char_lm_table) with one gather per step; the context rolls
-  forward in O(1) per beam.
+  (ops/lm.py:char_lm_table) with one gather per step;
+- WORD-level n-gram LM shallow fusion (the reference's production decode:
+  KenLM word 3-gram, alpha=0.5 beta=1.5, infer.py:64-67) runs on device
+  against hashed open-addressing tables (ops/lm.py:word_lm_tables) living
+  in HBM. Each beam carries rolling hashes of its partial word and of the
+  last two completed words; when a beam extends with the space character
+  the completed word is scored with full Katz backoff
+  (trigram -> bo+bigram -> bo+unigram -> <unk>) via a handful of (B, W)
+  gather probes per step. Semantics match ops/beam_search.py's Python
+  oracle exactly, including the trailing-partial-word score at the end.
 
 Returns the top beam's label ids per utterance; the host only renders text.
 """
@@ -21,13 +44,48 @@ Returns the top beam's label ids per utterance; the host only renders text.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
 NEG = -1e30
-_HASH_P = jnp.uint32(1000003)
+_HASH_P1 = jnp.uint32(1000003)
+_HASH_P2 = jnp.uint32(69069)
+
+
+class WordLMTables(NamedTuple):
+    """Hashed n-gram tables for on-device word-LM fusion (order <= 3).
+
+    Built by ops/lm.py:word_lm_tables. Every level is an open-addressing
+    hash table (linear probing, power-of-two size, key 0 = empty slot)
+    keyed by two independent 32-bit hash lanes folded over the n-gram's
+    word hashes. `probes` (static) bounds the probe chain: the builder
+    records the worst displacement at insert time.
+
+    All three levels live INTERLEAVED in one (N, 4) uint32 array —
+    [key1, key2, logp_bits, backoff_bits] per row — so one beam-search
+    step fetches every probe of every backoff chain with a SINGLE gather
+    (the previous layout's ~40 tiny gathers per step were 6x the cost of
+    the rest of the step combined). Natural-log prob/backoff are bitcast
+    f32. Level placement: rows [0, uni_size) unigrams, then bigrams, then
+    trigrams; masks/bases are device scalars (uint32).
+    """
+
+    packed: jnp.ndarray        # (N, 4) uint32
+    uni_mask: jnp.ndarray      # () uint32: uni_size - 1
+    bi_mask: jnp.ndarray
+    tri_mask: jnp.ndarray
+    uni_base: jnp.ndarray      # () uint32 row offsets
+    bi_base: jnp.ndarray
+    tri_base: jnp.ndarray
+    unk_logp: jnp.ndarray      # scalar f32: <unk> logp (or -5e29 floor)
+
+
+# hash-lane fold multipliers for combining word hashes into n-gram keys
+_Q1 = jnp.uint32(2654435761)
+_Q2 = jnp.uint32(40503)
+_KEY_SEED = jnp.uint32(1)
 
 
 def _logsumexp2(a, b):
@@ -38,9 +96,72 @@ def _logsumexp2(a, b):
     return jnp.where(m <= NEG / 2, NEG, out)
 
 
+def _fold_key(seed1, seed2, h1, h2):
+    return seed1 * _Q1 + h1, seed2 * _Q2 + h2
+
+
+def _word_lm_score(tables: WordLMTables, probes: int,
+                   c2h1, c2h2, c1h1, c1h2, wh1, wh2, c1_bo, ctx_bo):
+    """alpha-less natural-log p(word | c2 c1) with Katz backoff.
+
+    Word/context identified by rolling hashes; hash 0 = absent (empty
+    context slot / empty partial word — caller masks that case).
+    Mirrors ops/lm.py:NGramLM._score for order<=3. A 2-gram LM needs no
+    special casing: the trigram probe misses into an empty level and the
+    context backoff lands on the bigram line's stored 0.0.
+
+    The CONTEXT backoff weights bo(c1) and bo(c2 c1) are passed in, not
+    looked up: they only change when a beam completes a word, and at that
+    moment they sit in the very rows this function fetches for the new
+    word — the unigram(w) and bigram(c1 w) entries. The beam search
+    carries them as state, cutting the probe chains from 5 to 3. Returns
+    (logp, w_bo, cw_bo): the new word's own backoff weights, which become
+    the caller's carried (c1_bo, ctx_bo) when the word completes.
+
+    The three chains (unigram, bigram, trigram) are fused into ONE gather
+    over the packed table: indices (..., 3, probes) ->
+    rows (..., 3, probes, 4); hit selection happens on the VPU afterwards.
+    """
+    MIX = jnp.uint32(0x9E3779B9)
+    uk1, uk2 = _fold_key(_KEY_SEED, _KEY_SEED, wh1, wh2)
+    c1k1, c1k2 = _fold_key(_KEY_SEED, _KEY_SEED, c1h1, c1h2)
+    bk1, bk2 = _fold_key(c1k1, c1k2, wh1, wh2)
+    ctxk1, ctxk2 = _fold_key(*_fold_key(_KEY_SEED, _KEY_SEED, c2h1, c2h2),
+                             c1h1, c1h2)
+    tk1, tk2 = _fold_key(ctxk1, ctxk2, wh1, wh2)
+
+    # chains: 0=unigram(w) 1=bigram(c1 w) 2=trigram(c2 c1 w)
+    q1 = jnp.stack([uk1, bk1, tk1], axis=-1)                # (..., 3)
+    q2 = jnp.stack([uk2, bk2, tk2], axis=-1)
+    masks = jnp.stack([tables.uni_mask, tables.bi_mask, tables.tri_mask])
+    bases = jnp.stack([tables.uni_base, tables.bi_base, tables.tri_base])
+    idx0 = (q1 ^ (q2 * MIX)) & masks
+    offs = jnp.arange(probes, dtype=jnp.uint32)
+    idx = bases[..., None] + ((idx0[..., None] + offs) & masks[..., None])
+    rows = tables.packed[idx.astype(jnp.int32)]              # (...,3,P,4)
+
+    hit = (rows[..., 0] == q1[..., None]) & (rows[..., 1] == q2[..., None]) \
+        & (q1[..., None] != 0)      # key 0 marks empty slots
+    any_hit = jnp.any(hit, axis=-1)                          # (..., 3)
+    first = jnp.argmax(hit, axis=-1)                         # (..., 3)
+    picked = jnp.take_along_axis(rows, first[..., None, None],
+                                 axis=-2)[..., 0, :]         # (..., 3, 4)
+    val = jax.lax.bitcast_convert_type(picked[..., 2], jnp.float32)
+    bo = jax.lax.bitcast_convert_type(picked[..., 3], jnp.float32)
+
+    p = jnp.where(any_hit[..., 0], val[..., 0], tables.unk_logp)
+    p2 = jnp.where(any_hit[..., 1], val[..., 1], c1_bo + p)
+    p = jnp.where(c1h1 != 0, p2, p)
+    p3 = jnp.where(any_hit[..., 2], val[..., 2], ctx_bo + p)
+    p = jnp.where((c2h1 != 0) & (c1h1 != 0), p3, p)
+    w_bo = jnp.where(any_hit[..., 0], bo[..., 0], 0.0)
+    cw_bo = jnp.where(any_hit[..., 1], bo[..., 1], 0.0)
+    return p, w_bo, cw_bo
+
+
 @partial(jax.jit, static_argnames=("beam_width", "blank", "max_len",
                                    "n_ctx", "alpha", "beta",
-                                   "cutoff_top_n"))
+                                   "cutoff_top_n", "space", "wlm_probes"))
 def device_beam_search(
     log_probs: jnp.ndarray,
     lengths: jnp.ndarray,
@@ -53,13 +174,18 @@ def device_beam_search(
     beta: float = 0.0,
     max_len: int = 0,
     cutoff_top_n: int = 0,
+    word_lm: Optional[WordLMTables] = None,
+    wlm_probes: int = 8,
+    space: int = -1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(B, T, V+1) log-probs -> (prefixes (B, L), prefix_lens (B,)).
 
-    lm_table: ((V+1)^n_ctx, V) char-LM table or None; alpha/beta are the
-    shallow-fusion weight and per-char bonus. cutoff_top_n > 0 restricts
-    expansion to the top-N tokens per frame (the reference's vocabulary
-    pruning, beam_search_decoder.py:34-36) — it shrinks the per-step sort
+    lm_table: ((V+1)^n_ctx, V) char-LM table or None. word_lm: hashed
+    word-n-gram tables (requires `space` = index of the word separator
+    label). alpha/beta are the shallow-fusion weight and per-word (or
+    per-char for the char LM) bonus. cutoff_top_n > 0 restricts expansion
+    to the top-N tokens per frame (the reference's vocabulary pruning,
+    beam_search_decoder.py:34-36) — it shrinks the per-step merge/top-k
     from W*(V+1) to W*(N+1) candidates, the dominant cost on TPU.
     """
     bsz, t_max, v1 = log_probs.shape
@@ -67,22 +193,81 @@ def device_beam_search(
     w = beam_width
     l_max = max_len or t_max
     k_c = v if cutoff_top_n <= 0 or cutoff_top_n >= v else cutoff_top_n
-    n_cand = w * (k_c + 1)
+    if word_lm is not None and space < 0:
+        raise ValueError("word_lm requires the space label index")
+    if word_lm is not None and lm_table is not None:
+        raise ValueError("char-LM table and word-LM fusion are exclusive")
+    # canonical-text beam identity (oracle/pyctcdecode semantics) needs the
+    # space id; char-LM fusion scores RAW sequences, so it keeps raw hashing
+    normalize = space >= 0 and lm_table is None
 
-    # beam state (B, W, ...)
+    # ---- packed beam state ----
+    # ALL per-beam scalars live in ONE (B, W, C) uint32 tensor (f32 fields
+    # bitcast): selection after top_k is then a SINGLE take_along_axis
+    # instead of ~16 — on TPU each small gather op costs ~15 us inside a
+    # scan step, and they, not the merge math, dominated the step.
+    (C_H1, C_H2, C_PB, C_PNB, C_LM, C_LAST, C_ROW, C_PLEN,
+     C_WH1, C_WH2, C_C1H1, C_C1H2, C_C2H1, C_C2H2, C_BO1, C_BO2) = range(16)
+    n_cols = 16
+
+    def f2u(x):
+        return jax.lax.bitcast_convert_type(x, jnp.uint32)
+
+    def u2f(x):
+        return jax.lax.bitcast_convert_type(x, jnp.float32)
+
+    # slot 0 is the live empty prefix, the rest are dead with poisoned
+    # (unique, never-matching) hashes
+    slot_poison = (jnp.uint32(0x80000000)
+                   + jnp.arange(w, dtype=jnp.uint32))        # (W,)
+    neg_bits = f2u(jnp.float32(NEG))
+    zero_bits = f2u(jnp.float32(0.0))
+    st0 = jnp.zeros((w, n_cols), jnp.uint32)
+    st0 = st0.at[:, C_H1].set(jnp.where(jnp.arange(w) == 0,
+                                        jnp.uint32(0), slot_poison))
+    st0 = st0.at[:, C_H2].set(jnp.where(jnp.arange(w) == 0,
+                                        jnp.uint32(0),
+                                        jnp.uint32(0xFFFFFFFF)))
+    st0 = st0.at[:, C_PB].set(jnp.where(jnp.arange(w) == 0,
+                                        zero_bits, neg_bits))
+    st0 = st0.at[:, C_PNB].set(neg_bits)
+    st0 = st0.at[:, C_LM].set(zero_bits)
+    st0 = st0.at[:, C_BO1].set(zero_bits)
+    st0 = st0.at[:, C_BO2].set(zero_bits)
+    # C_LAST stores last+1 (0 = none yet); word/context hashes start 0
+    st = jnp.broadcast_to(st0[None], (bsz, w, n_cols))
     prefixes = jnp.zeros((bsz, w, l_max), jnp.int32)
-    plen = jnp.zeros((bsz, w), jnp.int32)
-    last = jnp.full((bsz, w), -1, jnp.int32)
-    p_b = jnp.full((bsz, w), NEG, jnp.float32).at[:, 0].set(0.0)
-    p_nb = jnp.full((bsz, w), NEG, jnp.float32)
-    hashes = jnp.zeros((bsz, w), jnp.uint32)
-    lm_row = jnp.zeros((bsz, w), jnp.int32)
-    lm_score = jnp.zeros((bsz, w), jnp.float32)
 
     rows_mod = (v + 1) ** max(n_ctx - 1, 0) if lm_table is not None else 1
 
-    def step(state, t):
-        (prefixes, plen, last, p_b, p_nb, hashes, lm_row, lm_score) = state
+    # hoist the per-frame token pruning out of the scan: one batched top_k
+    # over all frames beats T tiny top_k ops inside the sequential loop
+    if k_c < v:
+        all_top_lp, all_top_ci = jax.lax.top_k(log_probs[:, :, :v], k_c)
+    else:
+        all_top_lp = log_probs[:, :, :v]
+        all_top_ci = jnp.broadcast_to(jnp.arange(v)[None, None],
+                                      (bsz, t_max, v))
+
+    def step(carry, t):
+        st, prefixes = carry
+        hashes = st[..., C_H1]
+        hashes2 = st[..., C_H2]
+        p_b = u2f(st[..., C_PB])
+        p_nb = u2f(st[..., C_PNB])
+        lm_score = u2f(st[..., C_LM])
+        last = st[..., C_LAST].astype(jnp.int32) - 1
+        lm_row = st[..., C_ROW].astype(jnp.int32)
+        plen = st[..., C_PLEN].astype(jnp.int32)
+        wh1 = st[..., C_WH1]
+        wh2 = st[..., C_WH2]
+        c1h1 = st[..., C_C1H1]
+        c1h2 = st[..., C_C1H2]
+        c2h1 = st[..., C_C2H1]
+        c2h2 = st[..., C_C2H2]
+        bo1 = u2f(st[..., C_BO1])
+        bo2 = u2f(st[..., C_BO2])
+
         lp = log_probs[:, t]                                # (B, V+1)
         p_tot = _logsumexp2(p_b, p_nb)                      # (B, W)
 
@@ -94,126 +279,207 @@ def device_beam_search(
         stay_pnb = jnp.where(last >= 0, p_nb + lp_last, NEG)
 
         # ---- "extend" candidates: (B, W, K) over (pruned) tokens ----
-        if k_c < v:
-            top_lp, top_ci = jax.lax.top_k(lp[:, :v], k_c)  # (B, K)
-        else:
-            top_lp = lp[:, :v]
-            top_ci = jnp.broadcast_to(jnp.arange(v)[None], (bsz, v))
+        top_lp = all_top_lp[:, t]                           # (B, K)
+        top_ci = all_top_ci[:, t]
         lp_c = top_lp[:, None, :]                           # (B, 1, K)
         char_ids = jnp.broadcast_to(top_ci[:, None, :], (bsz, w, k_c))
         is_rep = last[:, :, None] == char_ids
         base = jnp.where(is_rep, p_b[:, :, None], p_tot[:, :, None])
         ext_pnb = base + lp_c                               # (B, W, K)
-        ext_hash = hashes[:, :, None] * _HASH_P \
-            + (char_ids + 1).astype(jnp.uint32)
+        cplus3 = (char_ids + 1).astype(jnp.uint32)
+        if normalize:
+            # canonical-text hashing: fold a single separator before a
+            # char that starts a new word; a space never changes the hash
+            has_words = ((c1h1 != 0) | (c1h2 != 0))[:, :, None]
+            need_sep = (wh1 == 0)[:, :, None] & has_words
+            sp_u = jnp.uint32(space + 1)
+            base1 = jnp.where(need_sep,
+                              hashes[:, :, None] * _HASH_P1 + sp_u,
+                              hashes[:, :, None])
+            base2 = jnp.where(need_sep,
+                              hashes2[:, :, None] * _HASH_P2 + sp_u,
+                              hashes2[:, :, None])
+            is_space_c = char_ids == space
+            ext_hash = jnp.where(is_space_c, hashes[:, :, None],
+                                 base1 * _HASH_P1 + cplus3)
+            ext_hash2 = jnp.where(is_space_c, hashes2[:, :, None],
+                                  base2 * _HASH_P2 + cplus3)
+        else:
+            ext_hash = hashes[:, :, None] * _HASH_P1 + cplus3
+            ext_hash2 = hashes2[:, :, None] * _HASH_P2 + cplus3
+        ext_lm = jnp.broadcast_to(lm_score[:, :, None],
+                                  ext_pnb.shape)            # (B, W, K)
         if lm_table is not None:
             lm_all = lm_table[lm_row]                       # (B, W, V)
             lm_add = alpha * jnp.take_along_axis(lm_all, char_ids,
                                                  axis=2) + beta
-            ext_lm = lm_score[:, :, None] + lm_add
-            ext_row = (lm_row % rows_mod)[:, :, None] * (v + 1) \
-                + (char_ids + 1)
+            ext_lm = ext_lm + lm_add
+        if word_lm is not None:
+            # completed-word bonus: applies only to the space extension of
+            # beams holding a non-empty partial word — one backoff-chain
+            # lookup per BEAM per step (not per candidate)
+            raw_sw, w_bo, cw_bo = _word_lm_score(
+                word_lm, wlm_probes, c2h1, c2h2, c1h1, c1h2, wh1, wh2,
+                bo1, bo2)
+            sw = jnp.where(wh1 != 0, alpha * raw_sw + beta, 0.0)  # (B, W)
+            ext_lm = ext_lm + jnp.where(char_ids == space,
+                                        sw[:, :, None], 0.0)
         else:
-            ext_lm = jnp.broadcast_to(lm_score[:, :, None], ext_pnb.shape)
-            ext_row = jnp.zeros_like(ext_pnb, dtype=jnp.int32)
+            w_bo = cw_bo = bo1
 
-        # ---- flatten candidates: stay (W) then extend (W*K) ----
-        def flat(stay, ext):
-            return jnp.concatenate([stay, ext.reshape(bsz, w * k_c)], axis=1)
+        # ---- merge: stay(j) absorbs extension(i,c) iff equal prefix ----
+        # (the ONLY possible merge: beams are distinct, so stay==stay and
+        # ext==ext cannot collide; equality via the 64-bit composite hash,
+        # plus the last-emitted char under canonical hashing — the hash of
+        # "c" and "c " coincide and only last_char separates them)
+        eqm = (hashes[:, :, None, None] == ext_hash[:, None]) \
+            & (hashes2[:, :, None, None] == ext_hash2[:, None])  # (B,W,W,K)
+        if normalize:
+            eqm = eqm & (last[:, :, None, None] == char_ids[:, None])
+        ext_masked = jnp.where(eqm, ext_pnb[:, None], NEG)   # (B, W, W, K)
+        mmax = jnp.maximum(stay_pnb,
+                           jnp.max(ext_masked, axis=(2, 3)))  # (B, W)
+        msafe = jnp.where(mmax <= NEG / 2, 0.0, mmax)
+        msum = jnp.exp(jnp.maximum(stay_pnb - msafe, NEG)) + jnp.sum(
+            jnp.exp(jnp.maximum(ext_masked - msafe[:, :, None, None], NEG)),
+            axis=(2, 3))
+        stay_pnb_m = jnp.where(mmax <= NEG / 2, NEG,
+                               msafe + jnp.log(jnp.maximum(msum, 1e-38)))
+        ext_alive = ~jnp.any(eqm, axis=1)                    # (B, W, K)
+        ext_pnb = jnp.where(ext_alive, ext_pnb, NEG)
 
-        c_pb = flat(stay_pb, jnp.full_like(ext_pnb, NEG))
-        c_pnb = flat(stay_pnb, ext_pnb)
-        c_hash = flat(hashes, ext_hash)
-        c_lm = flat(lm_score, ext_lm)
-        c_row = flat(lm_row, ext_row)
-        c_parent = flat(jnp.broadcast_to(jnp.arange(w)[None], (bsz, w)),
-                        jnp.broadcast_to(jnp.arange(w)[None, :, None],
-                                         (bsz, w, k_c)).reshape(bsz, w * k_c))
-        c_char = flat(jnp.full((bsz, w), -1, jnp.int32),
-                      char_ids.reshape(bsz, w * k_c))
+        # ---- rank all W*(K+1) candidates, keep top W ----
+        stay_total = _logsumexp2(stay_pb, stay_pnb_m) + lm_score
+        ext_total = ext_pnb + ext_lm
+        totals = jnp.concatenate(
+            [stay_total, ext_total.reshape(bsz, w * k_c)], axis=1)
+        top_val, top_idx = jax.lax.top_k(totals, w)          # (B, W)
 
-        # ---- merge candidates with equal prefix hash ----
-        # one multi-operand stable sort carries all payloads with the keys
-        # (cheaper than argsort + 7 gathers)
-        (s_hash, s_pb, s_pnb, s_lm, s_row, s_parent, s_char) = jax.lax.sort(
-            (c_hash, c_pb, c_pnb, c_lm, c_row, c_parent, c_char),
-            dimension=1, num_keys=1, is_stable=True)
+        is_stay = top_idx < w
+        stay_idx = jnp.minimum(top_idx, w - 1)               # valid when stay
+        ext_idx = jnp.maximum(top_idx - w, 0)                # valid when ext
+        sel_parent = jnp.where(is_stay, stay_idx, ext_idx // k_c)
 
-        first = jnp.concatenate(
-            [jnp.ones((bsz, 1), bool), s_hash[:, 1:] != s_hash[:, :-1]],
-            axis=1)
-        seg = jnp.cumsum(first.astype(jnp.int32), axis=1) - 1   # (B, N)
+        # ---- selection: exactly TWO gathers ----
+        # (1) per-extension payloads packed (B, W*K, 3)
+        ext_pack = jnp.stack(
+            [char_ids.reshape(bsz, w * k_c).astype(jnp.uint32),
+             f2u(ext_pnb.reshape(bsz, w * k_c)),
+             f2u(ext_lm.reshape(bsz, w * k_c))], axis=-1)
+        sel_ext = jnp.take_along_axis(ext_pack, ext_idx[:, :, None], axis=1)
+        sel_char = jnp.where(is_stay, -1, sel_ext[..., 0].astype(jnp.int32))
+        sel_ext_pnb = u2f(sel_ext[..., 1])
+        sel_ext_lm = u2f(sel_ext[..., 2])
+        # (2) the parent's full packed state, plus the per-beam stay values
+        # and word-LM row payloads appended as extra columns
+        par_pack = jnp.concatenate(
+            [st,
+             jnp.stack([f2u(stay_pb), f2u(stay_pnb_m),
+                        f2u(w_bo), f2u(cw_bo)], axis=-1)], axis=-1)
+        sel = jnp.take_along_axis(par_pack, sel_parent[:, :, None], axis=1)
+        P_BPB, P_BPNB, P_WBO, P_CWBO = n_cols, n_cols + 1, n_cols + 2, \
+            n_cols + 3
 
-        def seg_lse(vals):
-            # segment logsumexp over runs of equal hash
-            mx = jax.vmap(lambda s, x: jax.ops.segment_max(
-                x, s, num_segments=n_cand))(seg, vals)
-            mx_b = jnp.take_along_axis(mx, seg, axis=1)
-            mx_safe = jnp.where(mx_b <= NEG / 2, 0.0, mx_b)
-            ex = jnp.exp(jnp.maximum(vals - mx_safe, NEG))
-            sm = jax.vmap(lambda s, x: jax.ops.segment_sum(
-                x, s, num_segments=n_cand))(seg, ex)
-            out = jnp.where(mx <= NEG / 2, NEG,
-                            jnp.where(mx <= NEG / 2, 0.0, mx)
-                            + jnp.log(jnp.maximum(sm, 1e-38)))
-            return out                                       # (B, n_cand) per segment id
+        new_pb = jnp.where(is_stay, u2f(sel[..., P_BPB]), NEG)
+        new_pnb = jnp.where(is_stay, u2f(sel[..., P_BPNB]), sel_ext_pnb)
+        new_lm = jnp.where(is_stay, u2f(sel[..., C_LM]), sel_ext_lm)
+        cplus = (sel_char + 1).astype(jnp.uint32)
+        p_h1 = sel[..., C_H1]
+        p_h2 = sel[..., C_H2]
+        p_wh1 = sel[..., C_WH1]
+        p_wh2 = sel[..., C_WH2]
+        p_c1h1 = sel[..., C_C1H1]
+        p_c1h2 = sel[..., C_C1H2]
+        if normalize:
+            sel_sep = (p_wh1 == 0) & ((p_c1h1 != 0) | (p_c1h2 != 0))
+            sp_u = jnp.uint32(space + 1)
+            b1 = jnp.where(sel_sep, p_h1 * _HASH_P1 + sp_u, p_h1)
+            b2 = jnp.where(sel_sep, p_h2 * _HASH_P2 + sp_u, p_h2)
+            sel_space = sel_char == space
+            new_hash = jnp.where(is_stay | sel_space, p_h1,
+                                 b1 * _HASH_P1 + cplus)
+            new_hash2 = jnp.where(is_stay | sel_space, p_h2,
+                                  b2 * _HASH_P2 + cplus)
+        else:
+            new_hash = jnp.where(is_stay, p_h1, p_h1 * _HASH_P1 + cplus)
+            new_hash2 = jnp.where(is_stay, p_h2, p_h2 * _HASH_P2 + cplus)
+        p_row = sel[..., C_ROW].astype(jnp.int32)
+        if lm_table is not None:
+            ext_row = (p_row % rows_mod) * (v + 1) + (sel_char + 1)
+            new_row = jnp.where(is_stay, p_row, ext_row)
+        else:
+            new_row = p_row
 
-        m_pb = seg_lse(s_pb)
-        m_pnb = seg_lse(s_pnb)
-        # representative (first of each run) carries parent/char/lm state
-        rep_total = jnp.where(
-            first,
-            jnp.take_along_axis(_logsumexp2(m_pb, m_pnb), seg,
-                                axis=1) + s_lm,
-            NEG)
+        # word-LM state transition (recomputed from parent state + char —
+        # cheaper than materializing (B, W, K) candidate word states)
+        is_space_ext = (~is_stay) & (sel_char == space)
+        shift = is_space_ext & (p_wh1 != 0)
+        new_wh1 = jnp.where(is_stay | is_space_ext,
+                            jnp.where(is_space_ext, jnp.uint32(0), p_wh1),
+                            p_wh1 * _HASH_P1 + cplus)
+        new_wh2 = jnp.where(is_stay | is_space_ext,
+                            jnp.where(is_space_ext, jnp.uint32(0), p_wh2),
+                            p_wh2 * _HASH_P2 + cplus)
+        new_c1h1 = jnp.where(shift, p_wh1, p_c1h1)
+        new_c1h2 = jnp.where(shift, p_wh2, p_c1h2)
+        new_c2h1 = jnp.where(shift, p_c1h1, sel[..., C_C2H1])
+        new_c2h2 = jnp.where(shift, p_c1h2, sel[..., C_C2H2])
+        # on word completion the new context's backoff weights are the
+        # completed word's own uni/bi row entries, already fetched above
+        new_bo1 = jnp.where(shift, sel[..., P_WBO], sel[..., C_BO1])
+        new_bo2 = jnp.where(shift, sel[..., P_CWBO], sel[..., C_BO2])
 
-        top_val, top_idx = jax.lax.top_k(rep_total, w)        # (B, W)
-        g = lambda a: jnp.take_along_axis(a, top_idx, axis=1)
-        sel_seg = g(seg)
-        # only segment REPRESENTATIVES carry live scores; padding slots
-        # (top_k ties on NEG) must stay dead or duplicated beams would
-        # double-count probability on the next merge
-        sel_first = g(first)
-        new_pb = jnp.where(sel_first,
-                           jnp.take_along_axis(m_pb, sel_seg, axis=1), NEG)
-        new_pnb = jnp.where(sel_first,
-                            jnp.take_along_axis(m_pnb, sel_seg, axis=1), NEG)
-        sel_parent = g(s_parent)
-        sel_char = g(s_char)
-        new_lm = g(s_lm)
-        new_row = g(s_row)
-        new_hash = g(s_hash)
+        # dead slots (filled from NEG-score padding) get poisoned hashes so
+        # they can never absorb a live extension's probability mass
+        dead = top_val <= NEG / 2
+        new_hash = jnp.where(dead, slot_poison[None], new_hash)
+        new_hash2 = jnp.where(dead, jnp.uint32(0xFFFFFFFF), new_hash2)
+        new_pb = jnp.where(dead, NEG, new_pb)
+        new_pnb = jnp.where(dead, NEG, new_pnb)
 
         # ---- rebuild prefixes ----
-        par = lambda a: jnp.take_along_axis(
-            a, sel_parent, axis=1)
         parent_prefix = jnp.take_along_axis(
-            prefixes, sel_parent[:, :, None], axis=1)         # (B, W, L)
-        parent_len = par(plen)
-        parent_last = par(last)
+            prefixes, sel_parent[:, :, None], axis=1)        # (B, W, L)
+        parent_len = sel[..., C_PLEN].astype(jnp.int32)
+        parent_last = sel[..., C_LAST].astype(jnp.int32) - 1
         is_ext = sel_char >= 0
         app = jax.nn.one_hot(jnp.clip(parent_len, 0, l_max - 1), l_max,
-                             dtype=jnp.int32)                 # (B, W, L)
+                             dtype=jnp.int32)                # (B, W, L)
         new_prefix = jnp.where(
             (is_ext[:, :, None]) & (app > 0),
             sel_char[:, :, None], parent_prefix)
         new_plen = parent_len + is_ext.astype(jnp.int32)
         new_last = jnp.where(is_ext, sel_char, parent_last)
 
-        # freeze finished utterances
-        active = (t < lengths)[:, None]
-        keep = lambda n, o: jnp.where(active, n, o)
-        keep3 = lambda n, o: jnp.where(active[:, :, None], n, o)
-        return (keep3(new_prefix, prefixes), keep(new_plen, plen),
-                keep(new_last, last), keep(new_pb, p_b),
-                keep(new_pnb, p_nb), keep(new_hash, hashes),
-                keep(new_row, lm_row), keep(new_lm, lm_score)), None
+        # new_bo1/new_bo2 selected between u32 columns, already bit patterns
+        new_st = jnp.stack(
+            [new_hash, new_hash2, f2u(new_pb), f2u(new_pnb), f2u(new_lm),
+             (new_last + 1).astype(jnp.uint32), new_row.astype(jnp.uint32),
+             new_plen.astype(jnp.uint32), new_wh1, new_wh2,
+             new_c1h1, new_c1h2, new_c2h1, new_c2h2,
+             new_bo1, new_bo2], axis=-1)
 
-    state = (prefixes, plen, last, p_b, p_nb, hashes, lm_row, lm_score)
-    state, _ = jax.lax.scan(step, state, jnp.arange(t_max))
-    prefixes, plen, last, p_b, p_nb, hashes, lm_row, lm_score = state
+        # freeze finished utterances
+        active = (t < lengths)[:, None, None]
+        return (jnp.where(active, new_st, st),
+                jnp.where(active, new_prefix, prefixes)), None
+
+    (st, prefixes), _ = jax.lax.scan(step, (st, prefixes),
+                                     jnp.arange(t_max))
+    p_b = u2f(st[..., C_PB])
+    p_nb = u2f(st[..., C_PNB])
+    lm_score = u2f(st[..., C_LM])
+    plen = st[..., C_PLEN].astype(jnp.int32)
 
     total = _logsumexp2(p_b, p_nb) + lm_score
+    if word_lm is not None:
+        # trailing partial word scored like the oracle's best()
+        wh1 = st[..., C_WH1]
+        sw, _, _ = _word_lm_score(
+            word_lm, wlm_probes, st[..., C_C2H1], st[..., C_C2H2],
+            st[..., C_C1H1], st[..., C_C1H2], wh1, st[..., C_WH2],
+            u2f(st[..., C_BO1]), u2f(st[..., C_BO2]))
+        total = total + jnp.where(wh1 != 0, alpha * sw + beta, 0.0)
     best = jnp.argmax(total, axis=1)                          # (B,)
     best_prefix = jnp.take_along_axis(
         prefixes, best[:, None, None], axis=1)[:, 0]
@@ -222,7 +488,12 @@ def device_beam_search(
 
 
 def device_beam_transcripts(log_probs, lengths, labels, **kwargs):
-    """Convenience: run the device beam search and render texts on host."""
+    """Convenience: run the device beam search and render texts on host.
+
+    Under canonical (space-normalized) beam identity the surviving
+    representative's recorded char path may carry redundant spaces that
+    its identity ignores; rendering collapses them to match the oracle.
+    """
     import numpy as np
 
     ids, lens = device_beam_search(
@@ -230,5 +501,8 @@ def device_beam_transcripts(log_probs, lengths, labels, **kwargs):
         blank=len(labels), **kwargs)
     ids = np.asarray(ids)
     lens = np.asarray(lens)
-    return ["".join(labels[i] for i in ids[b, : lens[b]])
-            for b in range(ids.shape[0])]
+    texts = ["".join(labels[i] for i in ids[b, : lens[b]])
+             for b in range(ids.shape[0])]
+    if kwargs.get("space", -1) >= 0 and kwargs.get("lm_table") is None:
+        texts = [" ".join(t.split()) for t in texts]
+    return texts

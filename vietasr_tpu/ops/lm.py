@@ -234,6 +234,121 @@ def char_lm_table(lm: NGramLM, labels: Sequence[str]) -> np.ndarray:
     return table
 
 
+def word_lm_tables(lm: NGramLM, labels: Sequence[str]):
+    """Densify a WORD-level n-gram LM (order <= 3) into hashed
+    open-addressing tables for ON-DEVICE shallow fusion.
+
+    This is the TPU-native replacement for the KenLM probing hash table
+    the reference queries on the host (beam_search_decoder.py:82-87): each
+    n-gram is keyed by two independent 32-bit hash lanes folded over its
+    words' rolling hashes (hashing must match ops/device_beam.py exactly,
+    uint32 wraparound arithmetic); the beam search probes the tables with
+    a few gathers per step.
+
+    Words are identified by the label-id sequence the beam would emit:
+    a word is hashed as fold(h*P + (id+1)) over its chars' label indices.
+    Words containing characters outside `labels` can never be produced by
+    the decoder and are skipped. Returns (WordLMTables, probes) where
+    `probes` is the worst-case linear-probe displacement (static arg for
+    device_beam_search).
+    """
+    from vietasr_tpu.ops.device_beam import WordLMTables
+
+    if lm.order > 3:
+        raise ValueError("on-device word LM supports order <= 3; "
+                         f"got order {lm.order} (truncate the ARPA)")
+    # plain-int arithmetic masked to 32 bits == the device's uint32
+    # wraparound (numpy >= 2 warns on scalar overflow, so avoid np.uint32)
+    M32 = 0xFFFFFFFF
+    P1, P2 = 1000003, 69069
+    Q1, Q2 = 2654435761, 40503
+    MIX = 0x9E3779B9
+    char_id = {ch: i for i, ch in enumerate(labels)
+               if isinstance(ch, str) and len(ch) == 1}
+
+    def word_hash(word: str):
+        h1 = 0
+        h2 = 0
+        for ch in word:
+            if ch not in char_id:
+                return None
+            cplus = char_id[ch] + 1
+            h1 = (h1 * P1 + cplus) & M32
+            h2 = (h2 * P2 + cplus) & M32
+        return h1, h2
+
+    def ngram_key(words: Tuple[str, ...]):
+        k1 = 1
+        k2 = 1
+        for wd in words:
+            wh = word_hash(wd)
+            if wh is None:
+                return None
+            k1 = (k1 * Q1 + wh[0]) & M32
+            k2 = (k2 * Q2 + wh[1]) & M32
+        if k1 == 0:
+            k1 = 1   # 0 is the empty-slot marker
+        return k1, k2
+
+    levels: List[List[Tuple[np.uint32, np.uint32, float, float]]] = \
+        [[], [], []]
+    for g, (logp, bo) in lm.ngrams.items():
+        if any(wd in (BOS, EOS, UNK) for wd in g):
+            continue
+        key = ngram_key(g)
+        if key is None:
+            continue
+        levels[len(g) - 1].append((key[0], key[1], logp, bo))
+
+    max_probes = 1
+
+    def build(entries):
+        nonlocal max_probes
+        size = 1
+        while size < max(2 * len(entries), 2):
+            size *= 2
+        k1 = np.zeros(size, np.uint32)
+        k2 = np.zeros(size, np.uint32)
+        val = np.zeros(size, np.float32)
+        bo = np.zeros(size, np.float32)
+        mask = size - 1
+        for e1, e2, lp, b in entries:
+            idx = (e1 ^ ((e2 * MIX) & M32)) & mask
+            d = 0
+            while k1[idx] != 0:
+                if k1[idx] == e1 and k2[idx] == e2:
+                    break       # duplicate n-gram (last write wins)
+                idx = (idx + 1) % size
+                d += 1
+            k1[idx] = e1
+            k2[idx] = e2
+            val[idx] = lp
+            bo[idx] = b
+            max_probes = max(max_probes, d + 1)
+        return k1, k2, val, bo
+
+    built = [build(entries) for entries in levels]
+    # interleave every level into one (N, 4) uint32 array:
+    # [key1, key2, logp_bits, backoff_bits] — the device fetches all
+    # probe rows of all backoff chains with a single gather
+    packed = np.concatenate([
+        np.stack([k1, k2,
+                  val.view(np.uint32), bo.view(np.uint32)], axis=1)
+        for (k1, k2, val, bo) in built])
+    sizes = [b[0].shape[0] for b in built]
+    unk = lm.ngrams[(UNK,)][0] if lm.has_unk else -5e29
+    tables = WordLMTables(
+        packed=packed,
+        uni_mask=np.uint32(sizes[0] - 1),
+        bi_mask=np.uint32(sizes[1] - 1),
+        tri_mask=np.uint32(sizes[2] - 1),
+        uni_base=np.uint32(0),
+        bi_base=np.uint32(sizes[0]),
+        tri_base=np.uint32(sizes[0] + sizes[1]),
+        unk_logp=np.float32(unk))
+    return tables, max_probes
+
+
 def context_row_index(context_ids: Sequence[int], v: int, n_ctx: int) -> int:
     """Row index for char_lm_table given the last n_ctx label ids."""
     padded = [-1] * max(n_ctx - len(context_ids), 0) + \

@@ -39,9 +39,13 @@ class TranscriberOptions:
     buckets_seconds: Sequence[float] = (2.0, 4.0, 6.0, 8.0, 11.0, 16.7)
     max_batch: int = 8
     # "greedy" | "beam" (host C++/Python prefix beam + word LM) |
-    # "device_beam" (on-device batched beam, char-LM table fusion)
+    # "device_beam" (on-device batched beam; char-LM table or hashed
+    # word-LM fusion, no host round trip)
     decoder: str = "greedy"
     device_beam_cutoff_top_n: int = 8
+    # "auto": sniff the ARPA (multi-char unigrams => word LM);
+    # "char" / "word" force the on-device fusion kind
+    device_beam_lm: str = "auto"
     # bf16 on the MXU is ~20x faster than fp32 for this encoder with max
     # log-prob deviation ~3e-5 (measured on v5e); set None for exact fp32.
     compute_dtype: Optional[str] = "bfloat16"
@@ -96,16 +100,29 @@ class Transcriber:
         self.buckets = [int(s * sr) for s in self.opts.buckets_seconds]
         self._decoder = None
         self._device_lm_table = None
+        self._device_word_lm = None
         if self.opts.decoder == "device_beam":
+            self._device_n_ctx = 2
             if self.opts.lm_path:
-                from vietasr_tpu.ops.lm import NGramLM, char_lm_table
+                from vietasr_tpu.ops.lm import (NGramLM, SPACE_TOKEN,
+                                                char_lm_table, word_lm_tables)
 
                 lm = NGramLM(self.opts.lm_path)
-                self._device_lm_table = jnp.asarray(
-                    char_lm_table(lm, self.cfg.labels))
-                self._device_n_ctx = lm.order - 1
-            else:
-                self._device_n_ctx = 2
+                kind = self.opts.device_beam_lm
+                if kind == "auto":
+                    specials = {"<s>", "</s>", "<unk>", SPACE_TOKEN}
+                    kind = "word" if any(
+                        len(w) > 1 and w not in specials
+                        for w in lm.vocab) else "char"
+                if kind == "word":
+                    tables, probes = word_lm_tables(lm, self.cfg.labels)
+                    self._device_word_lm = jax.tree_util.tree_map(
+                        jnp.asarray, tables)
+                    self._device_wlm_probes = probes
+                else:
+                    self._device_lm_table = jnp.asarray(
+                        char_lm_table(lm, self.cfg.labels))
+                    self._device_n_ctx = lm.order - 1
         elif self.opts.lm_path is not None or self.opts.decoder == "beam":
             from vietasr_tpu.ops.beam_search import BeamSearchDecoderLM
 
@@ -180,13 +197,30 @@ class Transcriber:
             if self.opts.decoder == "device_beam":
                 from vietasr_tpu.ops.device_beam import device_beam_transcripts
 
-                texts = device_beam_transcripts(
-                    lp, enc_lens, self.cfg.labels,
-                    beam_width=self.opts.beam_width,
-                    lm_table=self._device_lm_table,
-                    n_ctx=self._device_n_ctx,
-                    alpha=self.opts.lm_alpha, beta=0.0,
-                    cutoff_top_n=self.opts.device_beam_cutoff_top_n)
+                space = self.cfg.labels.index(" ") \
+                    if " " in self.cfg.labels else -1
+                if self._device_word_lm is not None:
+                    texts = device_beam_transcripts(
+                        lp, enc_lens, self.cfg.labels,
+                        beam_width=self.opts.beam_width,
+                        word_lm=self._device_word_lm,
+                        wlm_probes=self._device_wlm_probes,
+                        space=space,
+                        alpha=self.opts.lm_alpha, beta=self.opts.lm_beta,
+                        cutoff_top_n=self.opts.device_beam_cutoff_top_n)
+                else:
+                    # char-LM fusion scores raw sequences (space=-1 keeps
+                    # raw-prefix identity); without any LM, canonical
+                    # (space-normalized) identity matches the host oracle
+                    texts = device_beam_transcripts(
+                        lp, enc_lens, self.cfg.labels,
+                        beam_width=self.opts.beam_width,
+                        lm_table=self._device_lm_table,
+                        n_ctx=self._device_n_ctx,
+                        space=-1 if self._device_lm_table is not None
+                        else space,
+                        alpha=self.opts.lm_alpha, beta=0.0,
+                        cutoff_top_n=self.opts.device_beam_cutoff_top_n)
             elif self._decoder is not None:
                 texts = self._decoder.decode_batch(
                     np.asarray(lp), np.asarray(enc_lens))

@@ -113,15 +113,15 @@ class StreamPool:
             if not self._free:
                 return None
             slot = self._free.pop()
-        self._reset_slot(slot)
-        if self.decoder_kind == "beam":
-            self.decoders[slot] = IncrementalBeam(
-                self.ot.cfg.labels, self.ot.cfg.num_classes,
-                **self._beam_kw)
-        else:
-            self.decoders[slot] = IncrementalGreedy(
-                self.ot.cfg.labels, self.ot.cfg.num_classes)
-        self.skip[slot] = self.ot.prefix_frames
+            self._reset_slot(slot)
+            if self.decoder_kind == "beam":
+                self.decoders[slot] = IncrementalBeam(
+                    self.ot.cfg.labels, self.ot.cfg.num_classes,
+                    **self._beam_kw)
+            else:
+                self.decoders[slot] = IncrementalGreedy(
+                    self.ot.cfg.labels, self.ot.cfg.num_classes)
+            self.skip[slot] = self.ot.prefix_frames
         return slot
 
     def close(self, slot: int) -> str:
@@ -154,26 +154,41 @@ class StreamPool:
         return "".join(emitted)
 
     def feed(self, inputs: Dict[int, np.ndarray]) -> Dict[int, str]:
-        """Advance ALL slots one chunk; `inputs` maps slot -> audio chunk
-        (exactly chunk_samples long). Slots without input get silence.
+        """Advance the FED slots one chunk; `inputs` maps slot -> audio
+        chunk (exactly chunk_samples long). Un-fed slots run through the
+        vmapped step on silence (shapes stay static) but their state rows
+        are NOT committed, so concurrent sessions never push phantom audio
+        through each other's encoder state. Thread-safe: the read-modify-
+        write of the pooled state is serialized under the pool lock.
         Returns newly emitted text per fed slot."""
         batch = np.zeros((self.slots, self.chunk_samples), np.float32)
+        fed = np.zeros((self.slots,), bool)
         for slot, chunk in inputs.items():
             if len(chunk) != self.chunk_samples:
                 raise ValueError(
                     f"chunk must be exactly {self.chunk_samples} samples")
             batch[slot] = chunk
-        self.states, lp = self._vstep(self.states, jnp.asarray(batch))
-        lp = np.asarray(lp)
-        out: Dict[int, str] = {}
-        for slot in inputs:
-            frames = lp[slot]
-            drop = min(self.skip.get(slot, 0), len(frames))
-            if drop:
-                self.skip[slot] -= drop
-                frames = frames[drop:]
-            if len(frames):
-                out[slot] = self.decoders[slot].feed(frames)
-            else:
-                out[slot] = ""
+            fed[slot] = True
+        fed_dev = jnp.asarray(fed)
+
+        def commit(new, old):
+            mask = fed_dev.reshape((self.slots,) + (1,) * (new.ndim - 1))
+            return jnp.where(mask, new, old)
+
+        with self._lock:
+            new_states, lp = self._vstep(self.states, jnp.asarray(batch))
+            self.states = jax.tree_util.tree_map(
+                commit, new_states, self.states)
+            lp = np.asarray(lp)
+            out: Dict[int, str] = {}
+            for slot in inputs:
+                frames = lp[slot]
+                drop = min(self.skip.get(slot, 0), len(frames))
+                if drop:
+                    self.skip[slot] -= drop
+                    frames = frames[drop:]
+                if len(frames):
+                    out[slot] = self.decoders[slot].feed(frames)
+                else:
+                    out[slot] = ""
         return out

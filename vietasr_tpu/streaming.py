@@ -87,12 +87,24 @@ def transcribe_long(
     if opts is not None and opts.decoder == "device_beam":
         from vietasr_tpu.ops.device_beam import device_beam_transcripts
 
+        labels = transcriber.cfg.labels
+        space = labels.index(" ") if " " in labels else -1
+        if getattr(transcriber, "_device_word_lm", None) is not None:
+            return device_beam_transcripts(
+                log_probs[None, :total], np.array([total]), labels,
+                beam_width=opts.beam_width,
+                word_lm=transcriber._device_word_lm,
+                wlm_probes=transcriber._device_wlm_probes, space=space,
+                alpha=opts.lm_alpha, beta=opts.lm_beta,
+                cutoff_top_n=opts.device_beam_cutoff_top_n)[0]
         return device_beam_transcripts(
-            log_probs[None, :total], np.array([total]),
-            transcriber.cfg.labels, beam_width=opts.beam_width,
+            log_probs[None, :total], np.array([total]), labels,
+            beam_width=opts.beam_width,
             lm_table=transcriber._device_lm_table,
             n_ctx=transcriber._device_n_ctx, alpha=opts.lm_alpha,
-            beta=0.0, cutoff_top_n=opts.device_beam_cutoff_top_n)[0]
+            beta=0.0,
+            space=-1 if transcriber._device_lm_table is not None else space,
+            cutoff_top_n=opts.device_beam_cutoff_top_n)[0]
     if transcriber._decoder is not None:
         return transcriber._decoder.decode(log_probs[:total])
     from vietasr_tpu.ops.greedy import ctc_collapse, ids_to_text
