@@ -1,17 +1,28 @@
-"""Benchmark: greedy-inference throughput of QuartzNet12x1_vi on one chip.
+"""Benchmarks: the five BASELINE.md configs + MFU + a correctness anchor.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "audio-s/s", "vs_baseline": N}
+Prints ONE JSON line per metric, headline (greedy QuartzNet12x1_vi) first:
+  {"metric": ..., "value": N, "unit": "audio-s/s", "vs_baseline": N, ...}
 
-- value: audio-seconds transcribed per wall-second on the default JAX device
-  (the real TPU chip under the driver), batch 16 x 15 s, featurizer +
-  folded-BN encoder + CTC head + greedy argmax, all in one jitted program.
-- vs_baseline: against a reference-equivalent PyTorch CPU forward (same
-  architecture/weights semantics as the reference NeMo stack runs on CPU,
-  its documented deployment: torch==1.8.1+cpu per README.md:38-42).
-  The torch number is measured once and cached in .bench_baseline.json.
+Configs (BASELINE.md "Configs to benchmark"):
+  1. QuartzNet12x1_vi greedy CTC            (+ MFU vs 197 TF/s v5e bf16 peak)
+  2. + on-device word-LM beam search        (W=16, Katz-backoff 3-gram)
+  3. QuartzNet15x5 batched greedy           (English 28-label config)
+  4. long-form 8 kHz chunked streaming      (real call-center wav, tiled)
+  5. Conformer-CTC data-parallel train step (bf16, full pipeline + Novograd)
+
+vs_baseline (headline only): reference-equivalent PyTorch CPU forward (same
+architecture/weights semantics as the reference NeMo stack runs on CPU, its
+documented deployment: torch==1.8.1+cpu per README.md:38-42). Measured once,
+cached in .bench_baseline.json.
+
+Correctness anchor: greedy fp32 transcripts of the 13 bundled wavs using the
+REAL bundled decoder checkpoint (JasperDecoderForCTC-STEP-289936.pt) over a
+seed-0 encoder — the sha256 ties every throughput number to a reproducible
+output (the upstream encoder .pt is stripped, so bit-parity WER is blocked;
+tools/parity_check.py covers numerics instead).
 """
 
+import glob
 import json
 import os
 import time
@@ -21,20 +32,118 @@ import numpy as np
 BATCH = 128
 SECONDS = 15
 SR = 16000
+HERE = os.path.dirname(os.path.abspath(__file__))
 CONFIG = "/root/reference/configs/quartznet12x1_vi.yaml"
-BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                              ".bench_baseline.json")
+CONFIG_15x5 = "/root/reference/configs/quartznet15x5.yaml"
+CONFIG_CONFORMER = os.path.join(HERE, "configs/conformer_ctc_vi.yaml")
+DECODER_CKPT = ("/root/reference/models/acoustic_model/vietnamese/"
+                "JasperDecoderForCTC-STEP-289936.pt")
+AUDIO_DIR = "/root/reference/audio_samples"
+BASELINE_CACHE = os.path.join(HERE, ".bench_baseline.json")
+V5E_BF16_PEAK = 197e12
+
+# small fixed Vietnamese corpus for the benchmark word LM (chars all within
+# the 91-label inventory); a production LM would be trained on real text
+# with the same ops/lm.py tooling
+VI_CORPUS = [
+    "xin chào các bạn", "bản tin thời sự hôm nay", "chào mừng quý vị",
+    "tin tức trong ngày", "cảm ơn các bạn đã lắng nghe",
+    "thời tiết hà nội hôm nay", "chúc các bạn một ngày tốt lành",
+    "đây là đài tiếng nói việt nam", "tin thể thao quốc tế",
+    "giá xăng dầu trong nước", "tình hình giao thông buổi sáng",
+    "xin kính chào quý vị và các bạn", "bản tin cuối ngày",
+    "chương trình ca nhạc theo yêu cầu", "dự báo thời tiết ngày mai",
+] * 2
 
 
-def measure_tpu() -> float:
+# ---------------------------------------------------------------------------
+# model FLOPs (for MFU)
+
+
+def quartznet_flops_per_audio_second(cfg) -> float:
+    """Analytic forward FLOPs per second of audio: frontend DFT-as-GEMM +
+    mel matmul + every conv in the encoder + CTC head (2*K*Cin/g*Cout*T
+    per conv; BN/ReLU/masking are bandwidth, not FLOPs)."""
+    hop = cfg.featurizer.hop_length
+    n_fft = cfg.featurizer.n_fft
+    n_mels = cfg.featurizer.features
+    t = SR // hop                                   # frames per audio-second
+    n_bins = n_fft // 2 + 1
+    flops = 2.0 * t * n_fft * (2 * n_bins)          # framed DFT as conv/GEMM
+    flops += 2.0 * t * n_bins * n_mels              # mel projection
+    cin = n_mels
+    for b in cfg.encoder.blocks:
+        t_out = t // b.stride
+        for _ in range(b.repeat):
+            if b.separable:
+                flops += 2.0 * t_out * b.effective_kernel * cin
+                flops += 2.0 * t_out * cin * b.filters
+            else:
+                flops += 2.0 * t_out * b.effective_kernel * cin * b.filters
+            cin = b.filters
+        if b.residual:
+            flops += 2.0 * t_out * cin * b.filters
+        t = t_out
+    flops += 2.0 * t * cin * (cfg.num_classes + 1)  # CTC head
+    return flops
+
+
+def conformer_flops_per_audio_second(cfg) -> float:
+    """Approximate forward FLOPs/audio-second for the Conformer encoder:
+    per block 2x half-step FFNs (8*T*d^2*ff/2 each), MHSA (8*T*d^2 proj +
+    4*T^2*d scores), conv module (pointwise 2*2*T*d*2d + depthwise
+    2*T*K*d), plus subsampling convs and the CTC head."""
+    e = cfg.conformer
+    d = e.d_model
+    ff = e.ff_expansion
+    t = (SR // cfg.featurizer.hop_length) // e.subsampling_factor
+    per_block = (2 * (2.0 * t * d * d * ff * 2)     # two macaron FFNs
+                 + 8.0 * t * d * d + 4.0 * t * t * d
+                 + 2.0 * t * d * 2 * d * 2 + 2.0 * t * e.conv_kernel * d)
+    flops = e.num_blocks * per_block
+    flops += 2.0 * t * d * (cfg.num_classes + 1)
+    # subsampling stack (2 strided convs at ~T and T/2)
+    t0 = SR // cfg.featurizer.hop_length
+    flops += 2.0 * (t0 // 2) * 9 * cfg.featurizer.features * d
+    flops += 2.0 * (t0 // 4) * 9 * d * d
+    return flops
+
+
+def _timeit(fn, *args, iters=5):
+    out = fn(*args)
+    import jax
+
+    jax.block_until_ready(out)
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def emit(metric, value, unit, vs_baseline=None, **extra):
+    line = {"metric": metric, "value": round(float(value), 2), "unit": unit,
+            "vs_baseline": round(vs_baseline, 2) if vs_baseline else None}
+    line.update(extra)
+    print(json.dumps(line), flush=True)
+
+
+# ---------------------------------------------------------------------------
+# config 1 + 3: batched greedy
+
+
+def measure_greedy(config_path, batch=BATCH):
     import jax
     import jax.numpy as jnp
 
     from vietasr_tpu.config import load_config
     from vietasr_tpu.frontend.features import make_featurizer
-    from vietasr_tpu.models import fold_batchnorm, init_quartznet, quartznet_apply
+    from vietasr_tpu.models import fold_batchnorm, init_quartznet, \
+        quartznet_apply
 
-    cfg = load_config(CONFIG)
+    cfg = load_config(config_path)
     variables = fold_batchnorm(
         init_quartznet(jax.random.PRNGKey(0), cfg.encoder, cfg.num_classes),
         cfg.encoder)
@@ -50,20 +159,194 @@ def measure_tpu() -> float:
         return preds, enc_lens
 
     rng = np.random.RandomState(0)
-    signal = jnp.asarray(rng.randn(BATCH, SECONDS * SR).astype(np.float32) * 0.1)
-    lengths = jnp.asarray(np.full((BATCH,), SECONDS * SR, np.int32))
+    signal = jnp.asarray(rng.randn(batch, SECONDS * SR).astype(np.float32)
+                         * 0.1)
+    lengths = jnp.asarray(np.full((batch,), SECONDS * SR, np.int32))
+    dt = _timeit(lambda s, l: fwd(variables, s, l)[0], signal, lengths)
+    throughput = batch * SECONDS / dt
+    mfu = quartznet_flops_per_audio_second(cfg) * throughput / V5E_BF16_PEAK
+    return throughput, mfu
 
-    # warmup / compile
-    fwd(variables, signal, lengths)[0].block_until_ready()
-    fwd(variables, signal, lengths)[0].block_until_ready()
 
-    iters = 5
+# ---------------------------------------------------------------------------
+# config 2: + on-device word-LM beam search (end to end)
+
+
+def measure_word_lm_beam(batch=BATCH):
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    from vietasr_tpu.config import load_config
+    from vietasr_tpu.frontend.features import make_featurizer
+    from vietasr_tpu.models import fold_batchnorm, init_quartznet, \
+        quartznet_apply
+    from vietasr_tpu.ops.device_beam import device_beam_search
+    from vietasr_tpu.ops.lm import NGramLM, train_ngram_arpa, word_lm_tables
+
+    cfg = load_config(CONFIG)
+    arpa = os.path.join(tempfile.mkdtemp(), "vi_word.arpa")
+    train_ngram_arpa(VI_CORPUS, arpa, order=3, char_level=False)
+    tables, probes = word_lm_tables(NGramLM(arpa), cfg.labels)
+    tables = jax.tree_util.tree_map(jnp.asarray, tables)
+    space = cfg.labels.index(" ")
+
+    variables = fold_batchnorm(
+        init_quartznet(jax.random.PRNGKey(0), cfg.encoder, cfg.num_classes),
+        cfg.encoder)
+    featurize = make_featurizer(cfg.featurizer)
+
+    @jax.jit
+    def fwd(variables, signal, lengths):
+        feats, flens = featurize(signal, lengths)
+        log_probs, enc_lens, _ = quartznet_apply(
+            variables, feats, flens, cfg=cfg.encoder,
+            compute_dtype=jnp.bfloat16)
+        return log_probs, enc_lens
+
+    def e2e(signal, lengths):
+        log_probs, enc_lens = fwd(variables, signal, lengths)
+        return device_beam_search(
+            log_probs, enc_lens, beam_width=16, blank=cfg.num_classes,
+            word_lm=tables, wlm_probes=probes, space=space,
+            alpha=0.5, beta=1.5, cutoff_top_n=8)
+
+    rng = np.random.RandomState(0)
+    signal = jnp.asarray(rng.randn(batch, SECONDS * SR).astype(np.float32)
+                         * 0.1)
+    lengths = jnp.asarray(np.full((batch,), SECONDS * SR, np.int32))
+    dt = _timeit(lambda s, l: e2e(s, l)[0], signal, lengths, iters=3)
+    return batch * SECONDS / dt
+
+
+# ---------------------------------------------------------------------------
+# config 4: long-form 8 kHz chunked streaming
+
+
+def measure_longform_8khz():
+    from vietasr_tpu.audio.io import read_audio
+    from vietasr_tpu.pipeline import Transcriber, TranscriberOptions
+
+    # real 8 kHz call-center audio, tiled to 5 minutes
+    wav = os.path.join(AUDIO_DIR, "510_cbsk___file_goc_510201920_3.wav")
+    samples, _ = read_audio(wav, target_sr=SR)
+    total_seconds = 300
+    reps = int(np.ceil(total_seconds * SR / len(samples)))
+    long_sig = np.tile(samples, reps)[: total_seconds * SR]
+
+    # all ~27 chunks of the 300 s utterance ride one batched forward
+    t = Transcriber(CONFIG, options=TranscriberOptions(max_batch=32))
+    t.transcribe_long(long_sig)           # warmup / compile all chunk shapes
     t0 = time.perf_counter()
+    t.transcribe_long(long_sig)
+    dt = time.perf_counter() - t0
+    return total_seconds / dt
+
+
+# ---------------------------------------------------------------------------
+# config 5: Conformer-CTC data-parallel training step
+
+
+def measure_conformer_train(batch=32, seconds=15):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from vietasr_tpu.config import load_config
+    from vietasr_tpu.models import model_init
+    from vietasr_tpu.train.loop import make_train_step
+    from vietasr_tpu.train.state import TrainState
+
+    cfg = load_config(CONFIG_CONFORMER)
+    variables = model_init(jax.random.PRNGKey(0), cfg)
+    optimizer = optax.adamw(1e-3)
+    state = TrainState.create(variables, optimizer)
+    train_step = jax.jit(make_train_step(cfg, optimizer,
+                                         compute_dtype=jnp.bfloat16))
+
+    rng = np.random.RandomState(0)
+    batch_d = {
+        "signal": jnp.asarray(
+            rng.randn(batch, seconds * SR).astype(np.float32) * 0.1),
+        "signal_lens": jnp.full((batch,), seconds * SR, jnp.int32),
+        "tokens": jnp.asarray(
+            rng.randint(0, cfg.num_classes, size=(batch, 100), dtype=np.int32)),
+        "token_lens": jnp.full((batch,), 100, jnp.int32),
+    }
+    key = jax.random.PRNGKey(1)
+
+    def step(state):
+        new_state, metrics = train_step(state, batch_d, key)
+        return new_state, metrics["loss"]
+
+    state, _ = step(state)
+    jax.block_until_ready(state.params)
+    t0 = time.perf_counter()
+    iters = 3
     for _ in range(iters):
-        preds, _ = fwd(variables, signal, lengths)
-    preds.block_until_ready()
-    wall = time.perf_counter() - t0
-    return BATCH * SECONDS * iters / wall
+        state, loss = step(state)
+    jax.block_until_ready(loss)
+    dt = (time.perf_counter() - t0) / iters
+    throughput = batch * seconds / dt
+    # fwd + bwd ~ 3x forward FLOPs
+    mfu = 3 * conformer_flops_per_audio_second(cfg) * throughput \
+        / V5E_BF16_PEAK
+    return throughput, mfu
+
+
+# ---------------------------------------------------------------------------
+# correctness anchor
+
+
+def golden_anchor():
+    """Deterministic fp32 greedy transcripts of the bundled wavs with the
+    REAL decoder checkpoint over a seed-0 encoder; sha256 anchors outputs."""
+    import hashlib
+
+    import jax
+    import jax.numpy as jnp
+
+    from vietasr_tpu.audio.io import read_audio
+    from vietasr_tpu.config import load_config
+    from vietasr_tpu.frontend.features import make_featurizer
+    from vietasr_tpu.models import fold_batchnorm, init_quartznet, \
+        quartznet_apply
+    from vietasr_tpu.models.convert import decoder_from_state_dict, \
+        load_torch_state_dict
+    from vietasr_tpu.ops.greedy import collapse_batch, greedy_decode, \
+        ids_to_text
+
+    cfg = load_config(CONFIG)
+    variables = init_quartznet(jax.random.PRNGKey(0), cfg.encoder,
+                               cfg.num_classes)
+    variables["params"]["decoder"] = decoder_from_state_dict(
+        load_torch_state_dict(DECODER_CKPT))
+    variables = fold_batchnorm(variables, cfg.encoder)
+    featurize = make_featurizer(cfg.featurizer)
+
+    wavs = sorted(glob.glob(os.path.join(AUDIO_DIR, "*.wav")))
+    sigs = [read_audio(w, target_sr=SR)[0] for w in wavs]
+    max_len = max(len(s) for s in sigs)
+    batch = np.zeros((len(sigs), max_len), np.float32)
+    lens = np.zeros((len(sigs),), np.int32)
+    for i, s in enumerate(sigs):
+        batch[i, : len(s)] = s
+        lens[i] = len(s)
+
+    @jax.jit
+    def fwd(variables, signal, lengths):
+        feats, flens = featurize(signal, lengths)
+        log_probs, enc_lens, _ = quartznet_apply(
+            variables, feats, flens, cfg=cfg.encoder)     # fp32
+        return greedy_decode(log_probs, enc_lens, blank=cfg.num_classes)
+
+    preds, keep = fwd(variables, jnp.asarray(batch), jnp.asarray(lens))
+    texts = [ids_to_text(ids, cfg.labels)
+             for ids in collapse_batch(preds, keep)]
+    joined = "\n".join(texts)
+    return len(joined), hashlib.sha256(joined.encode()).hexdigest()[:16], \
+        len(wavs)
 
 
 def measure_torch_cpu_baseline() -> float:
@@ -146,13 +429,37 @@ def measure_torch_cpu_baseline() -> float:
 
 def main():
     baseline = measure_torch_cpu_baseline()
-    value = measure_tpu()
-    print(json.dumps({
-        "metric": "greedy_inference_throughput_quartznet12x1_vi",
-        "value": round(value, 2),
-        "unit": "audio-s/s",
-        "vs_baseline": round(value / baseline, 2),
-    }))
+
+    value, mfu = measure_greedy(CONFIG)
+    emit("greedy_inference_throughput_quartznet12x1_vi", value, "audio-s/s",
+         vs_baseline=value / baseline, mfu=round(mfu, 4),
+         config=f"B={BATCH}x{SECONDS}s bf16 W=1")
+
+    beam = measure_word_lm_beam()
+    emit("word_lm_beam_throughput_quartznet12x1_vi", beam, "audio-s/s",
+         vs_baseline=beam / baseline,
+         config="on-device Katz 3-gram word LM, W=16 cutoff=8 "
+                "alpha=0.5 beta=1.5 (reference deploy shape, infer.py:64-67)")
+
+    v15, mfu15 = measure_greedy(CONFIG_15x5, batch=64)
+    emit("greedy_batched_quartznet15x5", v15, "audio-s/s",
+         mfu=round(mfu15, 4), config=f"B=64x{SECONDS}s bf16")
+
+    lf = measure_longform_8khz()
+    emit("longform_8khz_chunked_streaming", lf, "audio-s/s",
+         config="real 8kHz call-center wav tiled to 300s, resample + "
+                "chunked greedy (reference skips >10s, infer.py:201)")
+
+    tr, mfu_tr = measure_conformer_train()
+    emit("conformer_ctc_train_step", tr, "audio-s/s", mfu=round(mfu_tr, 4),
+         config="B=32x15s bf16 AdamW, full pipeline incl. featurizer + "
+                "SpecAugment + CTC loss, 1 chip (dp=1)")
+
+    n_chars, digest, n_wavs = golden_anchor()
+    emit("golden_transcript_anchor", n_chars, "chars",
+         sha256=digest,
+         config=f"fp32 greedy, {n_wavs} bundled wavs, real decoder ckpt "
+                "(STEP-289936) over seed-0 encoder")
 
 
 if __name__ == "__main__":

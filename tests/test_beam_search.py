@@ -109,6 +109,7 @@ def exhaustive_best(log_probs, labels, lm=None, alpha=0.5, beta=1.5):
 
 
 @pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.slow
 def test_beam_matches_exhaustive_no_lm(seed):
     rng = np.random.RandomState(seed)
     t_max, v = 5, 4                       # labels: a, b, ' ' + blank
@@ -122,6 +123,7 @@ def test_beam_matches_exhaustive_no_lm(seed):
 
 
 @pytest.mark.parametrize("seed", [3, 4])
+@pytest.mark.slow
 def test_beam_matches_exhaustive_with_lm(seed, lm):
     rng = np.random.RandomState(seed)
     t_max, v = 5, 4

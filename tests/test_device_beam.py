@@ -84,6 +84,7 @@ def exhaustive_char_lm(lp, labels, lm, alpha, beta):
 
 
 @pytest.mark.parametrize("seed", [0, 1])
+@pytest.mark.slow
 def test_device_beam_char_lm_matches_exhaustive(seed, char_lm):
     rng = np.random.RandomState(30 + seed)
     labels = ["a", "b", "c", " "]

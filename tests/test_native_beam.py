@@ -35,6 +35,7 @@ def test_native_lm_matches_python(arpa_path):
 
 
 @pytest.mark.parametrize("seed", range(6))
+@pytest.mark.slow
 def test_native_beam_matches_python_no_lm(seed):
     rng = np.random.RandomState(seed)
     labels = ["a", "b", "c", " "]
@@ -50,6 +51,7 @@ def test_native_beam_matches_python_no_lm(seed):
 
 
 @pytest.mark.parametrize("seed", range(4))
+@pytest.mark.slow
 def test_native_beam_matches_python_with_lm(seed, arpa_path):
     rng = np.random.RandomState(100 + seed)
     labels = list(" abcdefghijklmnopqrstuvwxyzàáâãèéêìíòóôõùúýăđĩũơư")

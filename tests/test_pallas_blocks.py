@@ -2,6 +2,7 @@
 CPU; the same comparison ran bit-identical on the real v5e)."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -20,6 +21,7 @@ def _xla_oracle(x, lens, dw, pw, pwb, rw, rb, k):
     return jnp.maximum(y + r, 0.0)
 
 
+@pytest.mark.slow
 def test_fused_block_matches_xla_interpret():
     rng = np.random.RandomState(0)
     b, t, c, k, cout = 2, 64, 16, 7, 24
@@ -39,6 +41,7 @@ def test_fused_block_matches_xla_interpret():
                                atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_quartznet_use_pallas_flag_matches(monkeypatch):
     """use_pallas=True through quartznet_apply (interpret-mode kernel) must
     match the XLA path on the folded model."""

@@ -134,3 +134,77 @@ def test_beam_generate_at_least_greedy(copy_model):
     acc = float(jnp.mean((toks[:, :length] == seq).astype(jnp.float32)))
     assert acc > 0.8, acc
     assert np.isfinite(np.asarray(scores)).all()
+
+
+# ---------------------------------------------------------------------------
+# LAS glue: encoder-features -> connector -> decoder (las/misc.py:11)
+
+
+def test_jasper_rnn_connector_shapes_and_masking():
+    from vietasr_tpu.models.seq2seq import (init_jasper_rnn_connector,
+                                            jasper_rnn_connector_apply)
+
+    p = init_jasper_rnn_connector(jax.random.PRNGKey(0), 12, 8)
+    feats = jax.random.normal(jax.random.PRNGKey(1), (3, 10, 12))
+    lens = jnp.asarray([10, 6, 0])
+    out, p2 = jasper_rnn_connector_apply(p, feats, lens, training=True)
+    assert out.shape == (3, 10, 8)
+    # padding frames are zeroed
+    assert float(jnp.abs(out[1, 6:]).max()) == 0.0
+    assert float(jnp.abs(out[2]).max()) == 0.0
+    # running stats moved
+    assert float(jnp.abs(p2["mean"]).max()) > 0.0
+    # inference mode uses running stats, leaves params untouched
+    out_eval, p3 = jasper_rnn_connector_apply(p2, feats, lens, training=False)
+    assert p3 is p2
+    assert out_eval.shape == (3, 10, 8)
+
+
+def test_las_end_to_end_convergence():
+    """Acoustic-ish features -> connector -> attention decoder memorizes a
+    tiny labelled set (the LAS experiment wiring, las/misc.py + helpers)."""
+    from vietasr_tpu.models.seq2seq import (init_jasper_rnn_connector,
+                                            jasper_rnn_connector_apply,
+                                            las_evaluate)
+
+    vocab, hidden, t_len, y_len, b = 8, 24, 12, 4, 8
+    bos, eos = 1, 2
+    rng = np.random.RandomState(0)
+    # fixed "acoustic" features per class-sequence sample
+    feats_np = rng.randn(b, t_len, 10).astype(np.float32)
+    targets_np = rng.randint(3, vocab, size=(b, y_len)).astype(np.int32)
+    feats = jnp.asarray(feats_np)
+    targets = jnp.asarray(targets_np)
+    lens = jnp.full((b,), t_len, jnp.int32)
+    tlens = jnp.full((b,), y_len, jnp.int32)
+
+    params = {
+        "conn": init_jasper_rnn_connector(jax.random.PRNGKey(0), 10, hidden),
+        "dec": init_decoder_rnn(jax.random.PRNGKey(1), vocab, hidden),
+    }
+
+    def loss_fn(params, feats):
+        enc_out, _ = jasper_rnn_connector_apply(params["conn"], feats, lens,
+                                                training=False)
+        h0 = jnp.mean(enc_out, axis=1)
+        tgt_in = jnp.concatenate(
+            [jnp.full((b, 1), bos, jnp.int32), targets[:, :-1]], axis=1)
+        lps = decoder_rnn_apply(params["dec"], tgt_in, h0, enc_out, lens)
+        return sequence_loss(lps, targets, tlens, pad_id=0)
+
+    opt = optax.adam(1e-2)
+    state = opt.init(params)
+    step = jax.jit(lambda p, s: _update(p, s, feats, loss_fn, opt))
+    for _ in range(200):
+        params, state, loss = step(params, state)
+    assert float(loss) < 0.2, float(loss)
+
+    enc_out, _ = jasper_rnn_connector_apply(params["conn"], feats, lens,
+                                            training=False)
+    h0 = jnp.mean(enc_out, axis=1)
+    gen, _ = greedy_generate(params["dec"], h0, enc_out, lens,
+                             bos_id=bos, eos_id=eos, max_len=y_len)
+    labels = [str(i) for i in range(vocab)]
+    refs = ["".join(str(int(c)) for c in row) for row in targets_np]
+    result = las_evaluate(gen, refs, labels, eos_id=eos)
+    assert result["cer"] < 0.1, result

@@ -66,12 +66,17 @@ class _FakeTranscriber:
         self._apply = quartznet_apply
         self._decoder = None
 
-    def log_probs(self, signal):
+    class opts:
+        max_batch = 4
+
+    def log_probs(self, signal, lengths=None):
         if signal.ndim == 1:
             signal = signal[None]
+        if lengths is None:
+            lengths = np.full((signal.shape[0],), signal.shape[1], np.int32)
         feats, flens = self._featurize(
             jnp.asarray(signal),
-            jnp.asarray(np.array([signal.shape[1]], np.int32)))
+            jnp.asarray(np.asarray(lengths, np.int32)))
         lp, el, _ = self._apply(self.variables, feats, flens,
                                 cfg=self.cfg.encoder)
         return np.asarray(lp), np.asarray(el)

@@ -1,0 +1,109 @@
+"""Train on REAL speech end to end and report WER (VERDICT round-2 item 3).
+
+The reference was trained on ~100 h of Vietnamese speech
+(/root/reference/README.md:21); its bundled encoder checkpoint was stripped
+upstream (.MISSING_LARGE_BLOBS), so there is no ground-truth transcript or
+teacher available for the 13 bundled wavs. This run instead assigns each wav
+a FIXED pseudo-transcript (plausible Vietnamese within the 91-label
+inventory) and drives the FULL training stack on real acoustics:
+
+    manifest -> bucketing -> featurizer (dither) -> SpecAugment -> bf16
+    train step (Novograd + warmup cosine) -> checkpointing -> eval CLI WER
+
+Memorizing 13 real utterances with a 13M-parameter model proves the stack
+learns real speech (loss -> ~0, WER -> ~0 through the eval path); it is not
+a claim about generalization. Usage:
+
+    python tools/real_speech_run.py --work-dir work/real_speech \
+        [--epochs 400] [--batch-size 13]
+
+Prints a JSON summary and writes the manifest + loss curve into work-dir.
+"""
+
+import argparse
+import glob
+import json
+import os
+import sys
+import wave
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+AUDIO_DIR = "/root/reference/audio_samples"
+CONFIG = "/root/reference/configs/quartznet12x1_vi.yaml"
+
+# one deterministic pseudo-transcript per bundled wav (sorted filename
+# order); vocabulary restricted to the quartznet12x1_vi label set
+PSEUDO_TEXTS = [
+    "xin chào quý vị và các bạn",
+    "bản tin thời sự hôm nay có nhiều nội dung",
+    "giá xăng dầu trong nước tiếp tục tăng",
+    "thời tiết hà nội ngày mai có mưa rào",
+    "đây là đài tiếng nói việt nam",
+    "tin thể thao chiều nay rất hấp dẫn",
+    "cảm ơn các bạn đã lắng nghe chương trình",
+    "tình hình giao thông giờ cao điểm",
+    "chúc các bạn một ngày làm việc tốt lành",
+    "bản tin cuối ngày xin được khép lại",
+    "chương trình ca nhạc theo yêu cầu thính giả",
+    "dự báo thời tiết khu vực nam bộ",
+    "xin kính chào và hẹn gặp lại",
+    "tin tức quốc tế trong ngày hôm nay",
+]
+
+
+def build_manifest(work_dir: str) -> str:
+    wavs = sorted(glob.glob(os.path.join(AUDIO_DIR, "*.wav")))
+    os.makedirs(work_dir, exist_ok=True)
+    path = os.path.join(work_dir, "real_speech_manifest.json")
+    with open(path, "w", encoding="utf-8") as f:
+        for wav, text in zip(wavs, PSEUDO_TEXTS):
+            with wave.open(wav) as w:
+                duration = w.getnframes() / w.getframerate()
+            f.write(json.dumps({"audio_filepath": wav,
+                                "duration": round(duration, 3),
+                                "text": text}, ensure_ascii=False) + "\n")
+    return path
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--work-dir", default="work/real_speech")
+    ap.add_argument("--epochs", type=int, default=400)
+    ap.add_argument("--batch-size", type=int, default=13)
+    ap.add_argument("--lr", type=float, default=0.02)
+    args = ap.parse_args()
+
+    manifest = build_manifest(args.work_dir)
+
+    from vietasr_tpu.cli import main as cli_main
+
+    rc = cli_main([
+        "train", "--config", CONFIG,
+        "--train-manifest", manifest,
+        "--eval-manifest", manifest,
+        "--work-dir", args.work_dir,
+        "--batch-size", str(args.batch_size),
+        "--num-epochs", str(args.epochs),
+        "--optimizer", "novograd", "--lr", str(args.lr),
+        "--lr-policy", "CosineAnnealing",
+        "--warmup-steps", str(args.epochs // 10),
+        "--compute-dtype", "bfloat16",
+        "--log-every", "20",
+        "--eval-every", str(max(args.epochs // 4, 1)),
+        "--checkpoint-every", str(max(args.epochs // 2, 1)),
+    ])
+    if rc:
+        sys.exit(rc)
+
+    rc = cli_main([
+        "eval", "--config", CONFIG,
+        "--manifest", manifest,
+        "--checkpoint-dir", args.work_dir,
+        "--batch-size", str(args.batch_size),
+    ])
+    sys.exit(rc)
+
+
+if __name__ == "__main__":
+    main()

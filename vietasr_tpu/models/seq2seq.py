@@ -196,3 +196,79 @@ def beam_generate(params, init_state, enc_outputs, enc_lengths, *,
     toks = toks.reshape(b, w, max_len)
     return (jnp.take_along_axis(toks, best[:, None, None], axis=1)[:, 0],
             jnp.take_along_axis(scores, best[:, None], axis=1)[:, 0])
+
+
+# ---------------------------------------------------------------------------
+# LAS glue: Jasper/QuartzNet encoder -> RNN decoder bridge
+
+
+def init_jasper_rnn_connector(rng, in_channels: int, out_channels: int):
+    """1x1 conv + BatchNorm bridging encoder features to the seq2seq
+    hidden size (reference JasperRNNConnector,
+    /root/reference/nemo/collections/asr/las/misc.py:11-59)."""
+    k = xavier_uniform(rng, (in_channels, out_channels),
+                       fan_in=in_channels, fan_out=out_channels)
+    return {
+        "w": k,
+        "b": jnp.zeros((out_channels,), jnp.float32),
+        "scale": jnp.ones((out_channels,), jnp.float32),
+        "bias": jnp.zeros((out_channels,), jnp.float32),
+        "mean": jnp.zeros((out_channels,), jnp.float32),
+        "var": jnp.ones((out_channels,), jnp.float32),
+    }
+
+
+def jasper_rnn_connector_apply(params, feats, lengths, *,
+                               training: bool = False, momentum: float = 0.9,
+                               eps: float = 1e-5):
+    """(B, T, C_in) encoder features -> (B, T, C_out) for the RNN decoder.
+
+    The reference applies Conv1d(k=1) + BatchNorm1d then transposes to
+    (B, T, D); here features are already time-major (NWC) so the 1x1 conv
+    is a matmul. BatchNorm statistics are masked to valid frames. Returns
+    (out, new_params) — new_params carries updated running stats when
+    training (pass the result back in, pure-functional style).
+    """
+    x = jnp.einsum("btc,cd->btd", feats, params["w"]) + params["b"]
+    mask = (jnp.arange(x.shape[1])[None, :] < lengths[:, None])[..., None]
+    if training:
+        n = jnp.maximum(jnp.sum(mask), 1).astype(jnp.float32)
+        mean = jnp.sum(jnp.where(mask, x, 0.0), axis=(0, 1)) / n
+        var = jnp.sum(jnp.where(mask, (x - mean) ** 2, 0.0), axis=(0, 1)) / n
+        new_params = dict(params)
+        new_params["mean"] = momentum * params["mean"] + (1 - momentum) * mean
+        new_params["var"] = momentum * params["var"] + (1 - momentum) * var
+    else:
+        mean, var = params["mean"], params["var"]
+        new_params = params
+    x = (x - mean) * jax.lax.rsqrt(var + eps) * params["scale"] \
+        + params["bias"]
+    return jnp.where(mask, x, 0.0), new_params
+
+
+def las_evaluate(generated_ids, target_texts, labels, *, eos_id: int,
+                 pad_id: int = 0):
+    """WER/CER over autoregressive generations (reference las/helpers.py
+    process_evaluation_batch/epoch, reduced to the metrics that matter:
+    decode ids up to EOS, corpus WER + CER against the target texts)."""
+    import numpy as np
+
+    from vietasr_tpu.train.metrics import word_error_rate
+
+    ids = np.asarray(generated_ids)
+    hyps = []
+    for row in ids:
+        chars = []
+        for t in row:
+            if int(t) == eos_id:
+                break
+            if int(t) == pad_id:
+                continue
+            if 0 <= int(t) < len(labels):
+                chars.append(labels[int(t)])
+        hyps.append("".join(chars))
+    return {
+        "wer": word_error_rate(hyps, list(target_texts), use_cer=False),
+        "cer": word_error_rate(hyps, list(target_texts), use_cer=True),
+        "hypotheses": hyps,
+    }

@@ -157,15 +157,20 @@ class Transcriber:
 
     # -- public API --------------------------------------------------------
 
-    def log_probs(self, signal: np.ndarray):
-        """(B?, S) or (S,) waveform -> (log_probs, enc_lens) as np arrays."""
+    def log_probs(self, signal: np.ndarray, lengths=None):
+        """(B?, S) or (S,) waveform -> (log_probs, enc_lens) as np arrays.
+
+        `lengths` gives per-row valid sample counts (default: every row is
+        full length) — rows may be zero-padded beyond their length."""
         if signal.ndim == 1:
             signal = signal[None]
         n = signal.shape[1]
         bl = self._bucket_len(n)
         padded = np.zeros((signal.shape[0], bl), np.float32)
         padded[:, :n] = signal
-        lens = jnp.asarray(np.full((signal.shape[0],), n, np.int32))
+        if lengths is None:
+            lengths = np.full((signal.shape[0],), n, np.int32)
+        lens = jnp.asarray(np.asarray(lengths, np.int32))
         lp, el, _, _ = self._fwd(jnp.asarray(padded), lens)
         return np.asarray(lp), np.asarray(el)
 

@@ -117,7 +117,13 @@ def transcribe_long(
 def long_form_log_probs(transcriber, signal: np.ndarray, *,
                         chunk_seconds: float, overlap_seconds: float
                         ) -> Tuple[np.ndarray, int]:
-    """Stitched (T_total, V) log-probs for arbitrarily long audio."""
+    """Stitched (T_total, V) log-probs for arbitrarily long audio.
+
+    Chunks are BATCHED through the encoder in fixed-size groups (static
+    shapes, one compiled program) rather than run one by one — on a 300 s
+    utterance this is ~8x fewer device round trips; the chunks of one
+    utterance are embarrassingly parallel because overlap is handled by
+    margin-dropping, not state."""
     sr = transcriber.cfg.featurizer.sample_rate
     hop = transcriber.cfg.featurizer.hop_length
     enc_stride = encoder_stride(transcriber.cfg.encoder)
@@ -128,14 +134,22 @@ def long_form_log_probs(transcriber, signal: np.ndarray, *,
     overlap = max(int(overlap_seconds * sr) // grid, 1) * grid
     spans = chunk_spans(len(signal), chunk, overlap)
 
-    pieces = []
-    for start, stop, keep_from, keep_to in spans:
-        lp, enc_lens = transcriber.log_probs(signal[start:stop])
-        n_valid = int(enc_lens[0])
-        # sample offsets -> encoder frames: ceil(x / hop) / enc_stride
-        f_from = int(math.ceil(keep_from / hop / enc_stride))
-        f_to = min(n_valid,
-                   int(math.ceil(keep_to / hop / enc_stride)))
-        pieces.append(lp[0, f_from:f_to])
+    group = max(int(getattr(transcriber.opts, "max_batch", 8)), 1)
+    pieces: List[np.ndarray] = [None] * len(spans)  # type: ignore
+    for g0 in range(0, len(spans), group):
+        g_spans = spans[g0 : g0 + group]
+        batch = np.zeros((group, chunk), np.float32)
+        lens = np.zeros((group,), np.int32)         # padded rows: length 0
+        for i, (start, stop, _, _) in enumerate(g_spans):
+            batch[i, : stop - start] = signal[start:stop]
+            lens[i] = stop - start
+        lp, enc_lens = transcriber.log_probs(batch, lengths=lens)
+        for i, (start, stop, keep_from, keep_to) in enumerate(g_spans):
+            n_valid = int(enc_lens[i])
+            # sample offsets -> encoder frames: ceil(x / hop) / enc_stride
+            f_from = int(math.ceil(keep_from / hop / enc_stride))
+            f_to = min(n_valid,
+                       int(math.ceil(keep_to / hop / enc_stride)))
+            pieces[g0 + i] = lp[i, f_from:f_to]
     out = np.concatenate(pieces, axis=0)
     return out, out.shape[0]
