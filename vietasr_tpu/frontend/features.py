@@ -198,6 +198,9 @@ def log_mel_features(
         seq_len, T_padded a multiple of cfg.pad_to (static).
       seq_len: (B,) int32 valid frame counts (ceil(len / hop)).
     """
+    from vietasr_tpu.utils.typing import assert_audio_batch
+
+    assert_audio_batch(signal, lengths, port="featurizer.input_signal")
     hop = cfg.hop_length
     n_fft = cfg.fft_length
     seq_len = feature_seq_len(lengths, hop)

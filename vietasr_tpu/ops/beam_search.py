@@ -210,6 +210,13 @@ class BeamSearchDecoderLM:
 
     def decode(self, log_probs: np.ndarray,
                length: Optional[int] = None) -> str:
+        from vietasr_tpu.utils.typing import ContractError
+
+        if log_probs.ndim != 2 or log_probs.shape[1] != len(self.labels) + 1:
+            raise ContractError(
+                "port 'beam.decode.log_probs': expected (T, "
+                f"{len(self.labels) + 1}) with blank last, got shape "
+                f"{tuple(log_probs.shape)}")
         lp = log_probs[:length] if length is not None else log_probs
         if lp.shape[0] == 0:
             return ""

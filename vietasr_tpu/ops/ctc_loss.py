@@ -48,6 +48,10 @@ def ctc_loss(
 
     Returns: scalar loss (or (B,) if reduction == "none").
     """
+    from vietasr_tpu.utils.typing import assert_labels, assert_log_probs
+
+    assert_log_probs(log_probs, num_classes=blank, port="ctc_loss.log_probs")
+    assert_labels(targets, target_lengths, port="ctc_loss.targets")
     bsz, t_max, _ = log_probs.shape
     l_max = targets.shape[1]
     s = 2 * l_max + 1

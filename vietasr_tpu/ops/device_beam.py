@@ -188,6 +188,10 @@ def device_beam_search(
     beam_search_decoder.py:34-36) — it shrinks the per-step merge/top-k
     from W*(V+1) to W*(N+1) candidates, the dominant cost on TPU.
     """
+    from vietasr_tpu.utils.typing import assert_log_probs
+
+    assert_log_probs(log_probs, num_classes=blank,
+                     port="device_beam_search.log_probs")
     bsz, t_max, v1 = log_probs.shape
     v = v1 - 1
     w = beam_width

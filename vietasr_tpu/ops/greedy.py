@@ -23,6 +23,10 @@ def greedy_decode(log_probs: jnp.ndarray, lengths: jnp.ndarray, *, blank: int):
     keep[b, t] is True for frames that survive CTC collapse; the host only
     has to gather preds[keep] per row to get the label sequence.
     """
+    from vietasr_tpu.utils.typing import assert_log_probs
+
+    assert_log_probs(log_probs, num_classes=blank,
+                     port="greedy_decode.log_probs")
     preds = jnp.argmax(log_probs, axis=-1).astype(jnp.int32)
     prev = jnp.pad(preds, ((0, 0), (1, 0)), constant_values=-1)[:, :-1]
     t = preds.shape[1]

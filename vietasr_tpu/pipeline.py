@@ -181,6 +181,10 @@ class Transcriber:
 
     def transcribe_batch(self, signals: List[np.ndarray]) -> List[str]:
         """Batch utterances of one bucket together for MXU utilization."""
+        from vietasr_tpu.utils.typing import assert_waveform
+
+        for s in signals:
+            assert_waveform(np.asarray(s), port="transcribe.signal")
         out: List[Optional[str]] = [None] * len(signals)
         order = sorted(range(len(signals)), key=lambda i: len(signals[i]))
         i = 0

@@ -25,6 +25,17 @@ def _fail(port: str, expected: str, got) -> None:
         f"{tuple(got.shape)} dtype {got.dtype}")
 
 
+def assert_waveform(signal, *, port: str = "signal"):
+    """(S,) or (B, S) float waveform — the Transcriber/serve ingestion
+    contract (int16 PCM must be scaled to float first)."""
+    if getattr(signal, "ndim", None) not in (1, 2):
+        _fail(port, "(S,) or (B, S) float waveform", signal)
+    if not str(signal.dtype).startswith("float"):
+        raise ContractError(
+            f"port {port!r}: expected float waveform in [-1, 1], got dtype "
+            f"{signal.dtype} (scale int PCM by 1/32768 first)")
+
+
 def assert_audio_batch(signal, lengths=None, *, port: str = "audio_signal"):
     """(B, S) float waveform [+ (B,) int lengths]."""
     if signal.ndim != 2 or not str(signal.dtype).startswith("float"):
@@ -37,10 +48,19 @@ def assert_audio_batch(signal, lengths=None, *, port: str = "audio_signal"):
 
 def assert_features(feats, *, n_features: Optional[int] = None,
                     port: str = "features"):
-    """(B, T, D) float features (channels LAST — NWC layout)."""
+    """(B, T, D) float features (channels LAST — NWC layout).
+
+    Detects the reference's (B, D, T) channels-first layout passed by
+    mistake: the axis-semantics check of the neural type system
+    (TRANSPOSE_SAME in nemo/core/neural_types/comparison.py)."""
     if feats.ndim != 3 or not str(feats.dtype).startswith(("float", "bfloat")):
         _fail(port, "(B, T, D) float features", feats)
     if n_features is not None and feats.shape[2] != n_features:
+        if feats.shape[1] == n_features:
+            raise ContractError(
+                f"port {port!r}: axes look TRANSPOSED — expected channels "
+                f"last (B, T, {n_features}), got {tuple(feats.shape)} "
+                "(channels-first, the reference's torch layout)")
         _fail(port, f"(B, T, {n_features}) features", feats)
 
 
@@ -50,6 +70,11 @@ def assert_log_probs(log_probs, *, num_classes: Optional[int] = None,
     if log_probs.ndim != 3 or not str(log_probs.dtype).startswith("float"):
         _fail(port, "(B, T, V+1) float log-probs", log_probs)
     if num_classes is not None and log_probs.shape[2] != num_classes + 1:
+        if log_probs.shape[1] == num_classes + 1:
+            raise ContractError(
+                f"port {port!r}: axes look TRANSPOSED — expected "
+                f"(B, T, {num_classes + 1}) with classes last, got "
+                f"{tuple(log_probs.shape)}")
         _fail(port, f"(B, T, {num_classes + 1}) log-probs", log_probs)
 
 
