@@ -78,3 +78,68 @@ def test_streaming_rejected_when_slots_busy(server):
 
     msg = asyncio.run(run())
     assert "busy" in msg.get("error", "")
+
+
+def test_beam_revision_framing_matches_client_rules():
+    """The demo page reconstructs partials with: '\\r'+text => replace,
+    else append. That reconstruction must equal the decoder's current best
+    after EVERY chunk — the JS protocol framing contract, server-side."""
+    from vietasr_tpu.serve.streams import IncrementalBeam
+
+    rng = np.random.RandomState(0)
+    labels = ["a", "b", "c", " "]
+    dec = IncrementalBeam(labels, blank=len(labels), beam_width=8)
+    shown = ""
+    for _ in range(12):
+        logits = rng.randn(5, len(labels) + 1).astype(np.float32) * 2.0
+        lp = logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+        out = dec.feed(lp)
+        if out.startswith("\r"):
+            shown = out[1:]
+        else:
+            shown += out
+        assert shown == dec.text, (shown, dec.text)
+
+
+def test_streaming_session_beam_pool():
+    """End-to-end ws session against a BEAM-decoder pool: client framing
+    rules reconstruct exactly the final transcript."""
+    import time
+
+    import websockets
+
+    cfg, variables = small_model(normalize="")
+    ot = OnlineTranscriber(cfg, variables, causal_norm=False)
+    pool = StreamPool(ot, slots=1, chunk_samples=3200, decoder="beam",
+                      beam_width=4)
+    s = AsrServer(_PipelineShim(), host="127.0.0.1", port=18511,
+                  stream_pool=pool)
+    s.start(background=True)
+    time.sleep(0.3)
+    try:
+        async def run():
+            rng = np.random.RandomState(1)
+            sig = (rng.randn(12800) * 0.1).astype(np.float32)
+            pcm = (np.clip(sig, -1, 1) * 32767).astype("<i2").tobytes()
+            shown, final = "", None
+            async with websockets.connect("ws://127.0.0.1:18512") as ws:
+                await ws.send(json.dumps({"mode": "stream"}))
+                assert json.loads(await ws.recv()).get("ready")
+                for i in range(0, len(pcm), 6400):
+                    await ws.send(pcm[i:i + 6400])
+                await ws.send(json.dumps({"type": "end"}))
+                while True:
+                    msg = json.loads(await ws.recv())
+                    if "partial" in msg:
+                        p = msg["partial"]
+                        shown = p[1:] if p.startswith("\r") else shown + p
+                    if "final" in msg:
+                        final = msg["final"]
+                        break
+            return shown, final
+
+        shown, final = asyncio.run(run())
+        assert final is not None
+        assert shown == final, (shown, final)
+    finally:
+        s.stop()

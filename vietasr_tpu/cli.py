@@ -176,7 +176,9 @@ def cmd_serve(args) -> int:
         from vietasr_tpu.streaming_online import OnlineTranscriber
 
         ot = OnlineTranscriber(t.cfg, t.variables)
-        pool = StreamPool(ot, slots=args.stream_slots)
+        pool = StreamPool(ot, slots=args.stream_slots,
+                          decoder=args.stream_decoder,
+                          beam_width=args.beam_width)
     serve(t, host=args.host, port=args.port, record_dir=args.record_dir,
           stream_pool=pool)
     return 0
@@ -273,6 +275,10 @@ def main(argv=None) -> int:
     p.add_argument("--streaming", action="store_true",
                    help="enable real-time partial-result websocket sessions")
     p.add_argument("--stream-slots", type=int, default=8)
+    p.add_argument("--stream-decoder", choices=("greedy", "beam"),
+                   default="greedy",
+                   help="per-stream incremental decoder; beam emits "
+                        "\\r-prefixed revision partials")
     p.add_argument("--beam-width", type=int, default=50)
     p.add_argument("--lm-path")
     p.add_argument("--lm-alpha", type=float, default=0.5)

@@ -194,14 +194,25 @@ class AsrServer:
                     if out.get(slot):
                         await websocket.send(json.dumps(
                             {"partial": out[slot]}, ensure_ascii=False))
-            # flush: pad tail + drain the model lookahead with silence
+            # flush: pad tail + drain the model lookahead with silence;
+            # emissions surfaced here are still partials the client must
+            # see, or its reconstructed line diverges from the final
             if buf:
                 pad = buf + b"\x00" * (chunk_bytes - len(buf))
                 samples = np.frombuffer(pad, "<i2").astype(np.float32) \
                     / 32768.0
-                await loop.run_in_executor(
+                out = await loop.run_in_executor(
                     None, self.stream_pool.feed, {slot: samples})
-            await loop.run_in_executor(None, self.stream_pool.flush, slot)
+                if out.get(slot):
+                    await websocket.send(json.dumps(
+                        {"partial": out[slot]}, ensure_ascii=False))
+            pieces = await loop.run_in_executor(
+                None, lambda: self.stream_pool.flush(slot,
+                                                     return_pieces=True))
+            for piece in pieces:
+                if piece:
+                    await websocket.send(json.dumps(
+                        {"partial": piece}, ensure_ascii=False))
         finally:
             final = self.stream_pool.close(slot)
             try:

@@ -138,10 +138,12 @@ class StreamPool:
         self.states = jax.tree_util.tree_map(
             lambda batched, s: batched.at[slot].set(s), self.states, fresh)
 
-    def flush(self, slot: int) -> str:
+    def flush(self, slot: int, *, return_pieces: bool = False):
         """Drain the model's lookahead by feeding silence until the frames
         for all real audio have been emitted; returns the text that
-        surfaced during the drain."""
+        surfaced during the drain (or, with return_pieces, the per-chunk
+        emissions — each piece is one protocol message: plain text appends,
+        a "\\r"-prefixed piece replaces the whole line)."""
         from vietasr_tpu.streaming import encoder_stride
 
         stride = encoder_stride(self.ot.cfg.encoder)
@@ -151,7 +153,7 @@ class StreamPool:
         emitted = []
         for _ in range(self.ot.prefix_frames // max(frames_per_chunk, 1) + 1):
             emitted.append(self.feed({slot: silence})[slot])
-        return "".join(emitted)
+        return emitted if return_pieces else "".join(emitted)
 
     def feed(self, inputs: Dict[int, np.ndarray]) -> Dict[int, str]:
         """Advance the FED slots one chunk; `inputs` maps slot -> audio
@@ -161,9 +163,12 @@ class StreamPool:
         through each other's encoder state. Thread-safe: the read-modify-
         write of the pooled state is serialized under the pool lock.
         Returns newly emitted text per fed slot."""
+        from vietasr_tpu.utils.typing import assert_waveform
+
         batch = np.zeros((self.slots, self.chunk_samples), np.float32)
         fed = np.zeros((self.slots,), bool)
         for slot, chunk in inputs.items():
+            assert_waveform(np.asarray(chunk), port="stream.chunk")
             if len(chunk) != self.chunk_samples:
                 raise ValueError(
                     f"chunk must be exactly {self.chunk_samples} samples")
