@@ -135,3 +135,19 @@ def test_classifier_head():
     want1 = float((lt.topk(1, dim=1).indices[:, 0]
                    == torch.tensor([0, 1, 2, 3])).float().mean())
     assert abs(acc1 - want1) < 1e-6
+
+
+def test_config_export_roundtrip(tmp_path):
+    """load -> export -> load is the identity on every shipped config
+    (reference export_to_config/import_from_config round-trip,
+    nemo/core/neural_modules.py:233-366)."""
+    from vietasr_tpu.config import load_config, save_config
+
+    for src in ("/root/reference/configs/quartznet12x1_vi.yaml",
+                "/root/reference/configs/quartznet15x5.yaml",
+                "configs/conformer_ctc_vi.yaml"):
+        cfg = load_config(src)
+        out = tmp_path / "exported.yaml"
+        save_config(cfg, str(out))
+        cfg2 = load_config(str(out))
+        assert cfg2 == cfg, src

@@ -158,6 +158,41 @@ def load_config(path: str) -> ModelConfig:
     return config_from_dict(raw)
 
 
+def config_to_dict(cfg: ModelConfig) -> dict:
+    """Emit the NeMo-shaped sectioned dict for this config — the export
+    half of the module-config round-trip (reference export_to_config /
+    import_from_config, nemo/core/neural_modules.py:233-366).
+
+    Invariant: config_from_dict(config_to_dict(cfg)) == cfg.
+    """
+    raw = {
+        "model": cfg.name,
+        "AudioToTextDataLayer": dataclasses.asdict(cfg.data),
+        "AudioToMelSpectrogramPreprocessor":
+            dataclasses.asdict(cfg.featurizer),
+        "SpectrogramAugmentation": dataclasses.asdict(cfg.spec_augment),
+        "JasperEncoder": {
+            "activation": cfg.encoder.activation,
+            "conv_mask": cfg.encoder.conv_mask,
+            "residual_mode": cfg.encoder.residual_mode,
+            "normalization_mode": cfg.encoder.normalization_mode,
+            "init_mode": cfg.encoder.init_mode,
+            "jasper": [dataclasses.asdict(b) for b in cfg.encoder.blocks],
+        },
+        "labels": list(cfg.labels),
+    }
+    if cfg.conformer is not None:
+        raw["ConformerEncoder"] = dataclasses.asdict(cfg.conformer)
+    return raw
+
+
+def save_config(cfg: ModelConfig, path: str) -> None:
+    """Write the config back to reference-compatible YAML."""
+    with open(path, "w", encoding="utf-8") as f:
+        yaml.safe_dump(config_to_dict(cfg), f, allow_unicode=True,
+                       sort_keys=False)
+
+
 def config_from_dict(raw: dict) -> ModelConfig:
     feat_cfg = FeaturizerConfig.from_dict(
         raw.get("AudioToMelSpectrogramPreprocessor", {})
