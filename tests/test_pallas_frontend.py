@@ -1,0 +1,51 @@
+"""Fused Pallas frontend == the XLA frontend (which matches torch) exactly."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vietasr_tpu.frontend.features import FeaturizerConfig, make_featurizer
+from vietasr_tpu.frontend.pallas_frontend import fused_log_mel_features
+
+
+def _compare(cfg, bsz, seconds, seed=0, atol=2e-4):
+    rng = np.random.RandomState(seed)
+    sr = cfg.sample_rate
+    sig = jnp.asarray(rng.randn(bsz, int(seconds * sr)).astype(np.float32)
+                      * 0.1)
+    lens = jnp.asarray(
+        rng.randint(sr // 2, sig.shape[1] + 1, size=(bsz,)).astype(np.int32))
+    want, want_len = make_featurizer(cfg)(sig, lens)
+    got, got_len = fused_log_mel_features(sig, lens, cfg=cfg, interpret=True)
+    assert got.shape == want.shape, (got.shape, want.shape)
+    np.testing.assert_array_equal(np.asarray(got_len), np.asarray(want_len))
+    diff = np.abs(np.asarray(got) - np.asarray(want)).max()
+    assert diff < atol, diff
+
+
+def test_fused_matches_xla_vi_config():
+    _compare(FeaturizerConfig(dither=0.0), bsz=2, seconds=2.0)
+
+
+def test_fused_matches_xla_odd_lengths():
+    # lengths that land mid-tile and a T that is not a multiple of 128
+    _compare(FeaturizerConfig(dither=0.0), bsz=3, seconds=3.7, seed=1)
+
+
+def test_fused_matches_xla_80mel():
+    _compare(FeaturizerConfig(dither=0.0, features=80), bsz=2, seconds=1.3,
+             seed=2)
+
+
+def test_fused_short_utterance_single_tile():
+    _compare(FeaturizerConfig(dither=0.0), bsz=2, seconds=0.6, seed=3)
+
+
+def test_fused_rejects_unsupported():
+    cfg = FeaturizerConfig(dither=0.0, frame_splicing=2)
+    sig = jnp.zeros((1, 16000))
+    lens = jnp.asarray([16000], jnp.int32)
+    with pytest.raises(NotImplementedError):
+        fused_log_mel_features(sig, lens, cfg=cfg, interpret=True)
