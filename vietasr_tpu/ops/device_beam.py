@@ -101,7 +101,8 @@ def _fold_key(seed1, seed2, h1, h2):
 
 
 def _word_lm_score(tables: WordLMTables, probes: int,
-                   c2h1, c2h2, c1h1, c1h2, wh1, wh2, c1_bo, ctx_bo):
+                   c2h1, c2h2, c1h1, c1h2, wh1, wh2, c1_bo, ctx_bo,
+                   dense: bool = False):
     """alpha-less natural-log p(word | c2 c1) with Katz backoff.
 
     Word/context identified by rolling hashes; hash 0 = absent (empty
@@ -135,19 +136,47 @@ def _word_lm_score(tables: WordLMTables, probes: int,
     q2 = jnp.stack([uk2, bk2, tk2], axis=-1)
     masks = jnp.stack([tables.uni_mask, tables.bi_mask, tables.tri_mask])
     bases = jnp.stack([tables.uni_base, tables.bi_base, tables.tri_base])
-    idx0 = (q1 ^ (q2 * MIX)) & masks
-    offs = jnp.arange(probes, dtype=jnp.uint32)
-    idx = bases[..., None] + ((idx0[..., None] + offs) & masks[..., None])
-    rows = tables.packed[idx.astype(jnp.int32)]              # (...,3,P,4)
+    if dense:
+        # small tables: a brute-force equality match against EVERY row
+        # beats the probing gather by ~10x on TPU — XLA lowers the (B, W,
+        # 3, P, 4) open-addressing gather into a serial windowed loop plus
+        # layout copies (~210 us/step measured at B=128, W=16); the dense
+        # compare + masked max is a handful of fused VPU passes. Each
+        # chain may only match rows of its own level (key hashes of
+        # different levels could collide).
+        n = tables.packed.shape[0]
+        row_id = jnp.arange(n, dtype=jnp.uint32)
+        sizes = masks + 1
+        level_ok = (row_id[None, :] >= bases[:, None]) \
+            & (row_id[None, :] < (bases + sizes)[:, None])   # (3, N)
+        key1 = tables.packed[:, 0]
+        key2 = tables.packed[:, 1]
+        hit = (q1[..., None] == key1) & (q2[..., None] == key2) \
+            & level_ok & (q1[..., None] != 0)                # (..., 3, N)
+        any_hit = jnp.any(hit, axis=-1)                      # (..., 3)
+        logp_rows = jax.lax.bitcast_convert_type(
+            tables.packed[:, 2], jnp.float32)
+        bo_rows = jax.lax.bitcast_convert_type(
+            tables.packed[:, 3], jnp.float32)
+        # at most one row matches, so a masked max IS the lookup
+        val = jnp.max(jnp.where(hit, logp_rows, NEG), axis=-1)
+        bo = jnp.max(jnp.where(hit, bo_rows, NEG), axis=-1)
+        bo = jnp.where(any_hit, bo, 0.0)
+    else:
+        idx0 = (q1 ^ (q2 * MIX)) & masks
+        offs = jnp.arange(probes, dtype=jnp.uint32)
+        idx = bases[..., None] + ((idx0[..., None] + offs) & masks[..., None])
+        rows = tables.packed[idx.astype(jnp.int32)]          # (...,3,P,4)
 
-    hit = (rows[..., 0] == q1[..., None]) & (rows[..., 1] == q2[..., None]) \
-        & (q1[..., None] != 0)      # key 0 marks empty slots
-    any_hit = jnp.any(hit, axis=-1)                          # (..., 3)
-    first = jnp.argmax(hit, axis=-1)                         # (..., 3)
-    picked = jnp.take_along_axis(rows, first[..., None, None],
-                                 axis=-2)[..., 0, :]         # (..., 3, 4)
-    val = jax.lax.bitcast_convert_type(picked[..., 2], jnp.float32)
-    bo = jax.lax.bitcast_convert_type(picked[..., 3], jnp.float32)
+        hit = (rows[..., 0] == q1[..., None]) \
+            & (rows[..., 1] == q2[..., None]) \
+            & (q1[..., None] != 0)      # key 0 marks empty slots
+        any_hit = jnp.any(hit, axis=-1)                      # (..., 3)
+        first = jnp.argmax(hit, axis=-1)                     # (..., 3)
+        picked = jnp.take_along_axis(rows, first[..., None, None],
+                                     axis=-2)[..., 0, :]     # (..., 3, 4)
+        val = jax.lax.bitcast_convert_type(picked[..., 2], jnp.float32)
+        bo = jax.lax.bitcast_convert_type(picked[..., 3], jnp.float32)
 
     p = jnp.where(any_hit[..., 0], val[..., 0], tables.unk_logp)
     p2 = jnp.where(any_hit[..., 1], val[..., 1], c1_bo + p)
@@ -204,6 +233,8 @@ def device_beam_search(
     # canonical-text beam identity (oracle/pyctcdecode semantics) needs the
     # space id; char-LM fusion scores RAW sequences, so it keeps raw hashing
     normalize = space >= 0 and lm_table is None
+    # domain-sized LM tables take the dense-match path (see _word_lm_score)
+    lm_dense = word_lm is not None and word_lm.packed.shape[0] <= 4096
 
     # ---- packed beam state ----
     # ALL per-beam scalars live in ONE (B, W, C) uint32 tensor (f32 fields
@@ -240,7 +271,6 @@ def device_beam_search(
     st0 = st0.at[:, C_BO2].set(zero_bits)
     # C_LAST stores last+1 (0 = none yet); word/context hashes start 0
     st = jnp.broadcast_to(st0[None], (bsz, w, n_cols))
-    prefixes = jnp.zeros((bsz, w, l_max), jnp.int32)
 
     rows_mod = (v + 1) ** max(n_ctx - 1, 0) if lm_table is not None else 1
 
@@ -253,8 +283,7 @@ def device_beam_search(
         all_top_ci = jnp.broadcast_to(jnp.arange(v)[None, None],
                                       (bsz, t_max, v))
 
-    def step(carry, t):
-        st, prefixes = carry
+    def step(st, t):
         hashes = st[..., C_H1]
         hashes2 = st[..., C_H2]
         p_b = u2f(st[..., C_PB])
@@ -278,8 +307,11 @@ def device_beam_search(
         # ---- "stay" candidates: one per beam (same prefix) ----
         lp_blank = lp[:, blank][:, None]                    # (B, 1)
         stay_pb = p_tot + lp_blank
-        lp_last = jnp.take_along_axis(
-            lp, jnp.maximum(last, 0), axis=1)               # (B, W)
+        # lp[b, last[b, w]] as a one-hot contraction: in-scan gathers
+        # lower to serial windowed loops on TPU (~15 us each), the
+        # (B, W, V+1) select+reduce fuses into a couple of VPU passes
+        last_oh = last[:, :, None] == jnp.arange(v1)[None, None, :]
+        lp_last = jnp.sum(jnp.where(last_oh, lp[:, None, :], 0.0), axis=-1)
         stay_pnb = jnp.where(last >= 0, p_nb + lp_last, NEG)
 
         # ---- "extend" candidates: (B, W, K) over (pruned) tokens ----
@@ -324,7 +356,7 @@ def device_beam_search(
             # lookup per BEAM per step (not per candidate)
             raw_sw, w_bo, cw_bo = _word_lm_score(
                 word_lm, wlm_probes, c2h1, c2h2, c1h1, c1h2, wh1, wh2,
-                bo1, bo2)
+                bo1, bo2, dense=lm_dense)
             sw = jnp.where(wh1 != 0, alpha * raw_sw + beta, 0.0)  # (B, W)
             ext_lm = ext_lm + jnp.where(char_ids == space,
                                         sw[:, :, None], 0.0)
@@ -364,25 +396,48 @@ def device_beam_search(
         ext_idx = jnp.maximum(top_idx - w, 0)                # valid when ext
         sel_parent = jnp.where(is_stay, stay_idx, ext_idx // k_c)
 
-        # ---- selection: exactly TWO gathers ----
-        # (1) per-extension payloads packed (B, W*K, 3)
-        ext_pack = jnp.stack(
-            [char_ids.reshape(bsz, w * k_c).astype(jnp.uint32),
-             f2u(ext_pnb.reshape(bsz, w * k_c)),
-             f2u(ext_lm.reshape(bsz, w * k_c))], axis=-1)
-        sel_ext = jnp.take_along_axis(ext_pack, ext_idx[:, :, None], axis=1)
-        sel_char = jnp.where(is_stay, -1, sel_ext[..., 0].astype(jnp.int32))
-        sel_ext_pnb = u2f(sel_ext[..., 1])
-        sel_ext_lm = u2f(sel_ext[..., 2])
-        # (2) the parent's full packed state, plus the per-beam stay values
-        # and word-LM row payloads appended as extra columns
+        # ---- selection ----
+        # ONE state gather: the parent's full packed state, plus the
+        # per-beam stay values and word-LM payloads appended as extra
+        # columns. Extension payloads (char/pnb/lm) are RECOMPUTED from
+        # the selected parent columns + the per-frame top-K arrays instead
+        # of materializing and gathering a (B, W*K, 3) candidate pack —
+        # in-scan gathers and their layout copies cost far more than the
+        # few elementwise ops of the recompute.
         par_pack = jnp.concatenate(
             [st,
              jnp.stack([f2u(stay_pb), f2u(stay_pnb_m),
-                        f2u(w_bo), f2u(cw_bo)], axis=-1)], axis=-1)
+                        f2u(w_bo), f2u(cw_bo),
+                        f2u(sw) if word_lm is not None else
+                        jnp.zeros(stay_pb.shape, jnp.uint32)],
+                       axis=-1)], axis=-1)
         sel = jnp.take_along_axis(par_pack, sel_parent[:, :, None], axis=1)
-        P_BPB, P_BPNB, P_WBO, P_CWBO = n_cols, n_cols + 1, n_cols + 2, \
-            n_cols + 3
+        P_BPB, P_BPNB, P_WBO, P_CWBO, P_SW = (n_cols, n_cols + 1,
+                                              n_cols + 2, n_cols + 3,
+                                              n_cols + 4)
+
+        c_idx = ext_idx % k_c                                # (B, W)
+        c_oh = c_idx[:, :, None] == jnp.arange(k_c)[None, None, :]
+        sel_char_raw = jnp.sum(
+            jnp.where(c_oh, top_ci[:, None, :], 0), axis=-1)
+        sel_char = jnp.where(is_stay, -1, sel_char_raw)
+        sel_lp_c = jnp.sum(jnp.where(c_oh, top_lp[:, None, :], 0.0), axis=-1)
+        sel_p_b = u2f(sel[..., C_PB])
+        sel_p_tot = _logsumexp2(sel_p_b, u2f(sel[..., C_PNB]))
+        sel_is_rep = (sel[..., C_LAST].astype(jnp.int32) - 1) == sel_char
+        sel_ext_pnb = jnp.where(sel_is_rep, sel_p_b, sel_p_tot) + sel_lp_c
+        if lm_table is not None:
+            # char-LM: the per-candidate LM add depends on (parent row,
+            # char), so the packed-candidate gather stays
+            ext_pack = jnp.stack(
+                [f2u(ext_lm.reshape(bsz, w * k_c))], axis=-1)
+            sel_ext_lm = u2f(jnp.take_along_axis(
+                ext_pack, ext_idx[:, :, None], axis=1)[..., 0])
+        elif word_lm is not None:
+            sel_ext_lm = u2f(sel[..., C_LM]) + jnp.where(
+                sel_char == space, u2f(sel[..., P_SW]), 0.0)
+        else:
+            sel_ext_lm = u2f(sel[..., C_LM])
 
         new_pb = jnp.where(is_stay, u2f(sel[..., P_BPB]), NEG)
         new_pnb = jnp.where(is_stay, u2f(sel[..., P_BPNB]), sel_ext_pnb)
@@ -441,17 +496,13 @@ def device_beam_search(
         new_pb = jnp.where(dead, NEG, new_pb)
         new_pnb = jnp.where(dead, NEG, new_pnb)
 
-        # ---- rebuild prefixes ----
-        parent_prefix = jnp.take_along_axis(
-            prefixes, sel_parent[:, :, None], axis=1)        # (B, W, L)
+        # prefixes are NOT materialized in the scan (a (B, W, L) gather +
+        # rewrite per step dominated the loop's HBM traffic); each step
+        # only records (parent, char) backpointers and the best path is
+        # reconstructed once after the scan by pointer doubling
         parent_len = sel[..., C_PLEN].astype(jnp.int32)
         parent_last = sel[..., C_LAST].astype(jnp.int32) - 1
         is_ext = sel_char >= 0
-        app = jax.nn.one_hot(jnp.clip(parent_len, 0, l_max - 1), l_max,
-                             dtype=jnp.int32)                # (B, W, L)
-        new_prefix = jnp.where(
-            (is_ext[:, :, None]) & (app > 0),
-            sel_char[:, :, None], parent_prefix)
         new_plen = parent_len + is_ext.astype(jnp.int32)
         new_last = jnp.where(is_ext, sel_char, parent_last)
 
@@ -463,13 +514,16 @@ def device_beam_search(
              new_c1h1, new_c1h2, new_c2h1, new_c2h2,
              new_bo1, new_bo2], axis=-1)
 
-        # freeze finished utterances
-        active = (t < lengths)[:, None, None]
-        return (jnp.where(active, new_st, st),
-                jnp.where(active, new_prefix, prefixes)), None
+        # freeze finished utterances; frozen steps record identity
+        # backpointers so the backtrace passes through them unchanged
+        act2 = (t < lengths)[:, None]
+        bp_parent = jnp.where(act2, sel_parent,
+                              jnp.arange(w, dtype=jnp.int32)[None])
+        bp_char = jnp.where(act2, sel_char, -1)
+        active = act2[:, :, None]
+        return jnp.where(active, new_st, st), (bp_parent, bp_char)
 
-    (st, prefixes), _ = jax.lax.scan(step, (st, prefixes),
-                                     jnp.arange(t_max))
+    st, (parents, chars) = jax.lax.scan(step, st, jnp.arange(t_max))
     p_b = u2f(st[..., C_PB])
     p_nb = u2f(st[..., C_PNB])
     lm_score = u2f(st[..., C_LM])
@@ -482,12 +536,47 @@ def device_beam_search(
         sw, _, _ = _word_lm_score(
             word_lm, wlm_probes, st[..., C_C2H1], st[..., C_C2H2],
             st[..., C_C1H1], st[..., C_C1H2], wh1, st[..., C_WH2],
-            u2f(st[..., C_BO1]), u2f(st[..., C_BO2]))
+            u2f(st[..., C_BO1]), u2f(st[..., C_BO2]), dense=lm_dense)
         total = total + jnp.where(wh1 != 0, alpha * sw + beta, 0.0)
     best = jnp.argmax(total, axis=1)                          # (B,)
+
+    # ---- best-path reconstruction by pointer doubling ----
+    # parents[t][j] maps a beam index after step t to its index before
+    # step t. The beam on the best path after step t is the suffix
+    # composition S_t = g_{t+1} o ... o g_{T-1} applied to `best`;
+    # associative_scan computes all T compositions in O(log T) parallel
+    # passes over (T, B, W) — no sequential T-step backtrace (whose ~2
+    # gathers/step would cost as much as the forward scan itself).
+    identity = jnp.broadcast_to(
+        jnp.arange(w, dtype=parents.dtype)[None, None], (1, bsz, w))
+    cmaps = jnp.concatenate([parents[1:], identity], axis=0)  # c_t = g_{t+1}
+
+    def compose(a, b):
+        # reverse associative_scan folds as fn(later, earlier), so to get
+        # S_t = c_t o c_{t+1} o ... (innermost applied first = latest step)
+        # the EARLIER map must wrap the later one: fn(a, b) = b o a
+        return jnp.take_along_axis(b, a, axis=-1)
+
+    suffix = jax.lax.associative_scan(compose, cmaps, reverse=True, axis=0)
+    j_after = jnp.take_along_axis(
+        suffix, jnp.broadcast_to(best[None, :, None], (t_max, bsz, 1)),
+        axis=2)[..., 0]                                       # (T, B)
+    path_chars = jnp.take_along_axis(
+        chars, j_after[..., None], axis=2)[..., 0]            # (T, B)
+
+    # compact the emitted chars (char >= 0) to the front, in time order
+    cp = path_chars.T                                         # (B, T)
+    vd = cp >= 0
+    t_idx = jnp.arange(t_max)
+    order = jnp.argsort(jnp.where(vd, t_idx[None], t_max + t_idx[None]),
+                        axis=1)
+    take = order[:, :l_max] if l_max < t_max else jnp.pad(
+        order, ((0, 0), (0, l_max - t_max)), mode="edge")
     best_prefix = jnp.take_along_axis(
-        prefixes, best[:, None, None], axis=1)[:, 0]
-    best_len = jnp.take_along_axis(plen, best[:, None], axis=1)[:, 0]
+        jnp.where(vd, cp, 0), jnp.minimum(take, t_max - 1), axis=1)
+    best_len = jnp.minimum(vd.sum(axis=1), l_max).astype(jnp.int32)
+    best_prefix = jnp.where(
+        jnp.arange(l_max)[None] < best_len[:, None], best_prefix, 0)
     return best_prefix, best_len
 
 
