@@ -234,25 +234,14 @@ def _apply_sub(x, lens, params, stats, bcfg: BlockConfig, conv_mask: bool,
 
 def _apply_block(xs, lens_orig, params, stats, bcfg: BlockConfig,
                  cfg: EncoderConfig, training: bool, rng,
-                 compute_dtype=None, use_pallas: bool = False):
-    """Reference JasperBlock.forward (parts/jasper.py:408-448)."""
-    if use_pallas and not training and cfg.activation == "relu" \
-            and cfg.residual_mode == "add":
-        from vietasr_tpu.ops.pallas_blocks import (block_is_fusable,
-                                                   fused_separable_block)
+                 compute_dtype=None):
+    """Reference JasperBlock.forward (parts/jasper.py:408-448).
 
-        if block_is_fusable(bcfg, params):
-            sub = params["sub"][0]
-            pane = params["res"][0]
-            x = xs[-1]
-            if cfg.conv_mask:
-                x = mask_padding(x, lens_orig)
-            out = fused_separable_block(
-                x.astype(compute_dtype or x.dtype), lens_orig,
-                sub["dw_w"], sub["pw_w"], sub["b"],
-                pane["conv_w"], pane["b"])
-            return [out], lens_orig, {"sub": [{}], "res": [{}]}
-
+    The conv stack deliberately stays on XLA: a fused Pallas separable
+    block was built and measured at 0.83x XLA (the K-tap depthwise is
+    VPU-FLOP-bound and XLA already runs it at ~65-80% of the VPU
+    roofline, docs/rooflines.md) — the kernel was removed rather than
+    shipped slower than the compiler."""
     act = activation_fn(cfg.activation)
     out = xs[-1]
     lens = lens_orig
@@ -321,7 +310,6 @@ def quartznet_apply(
     training: bool = False,
     rng: Optional[jax.Array] = None,
     compute_dtype=None,
-    use_pallas: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, dict]:
     """Forward pass.
 
@@ -348,7 +336,7 @@ def quartznet_apply(
         rng, block_rng = jax.random.split(rng)
         xs, lens, s = _apply_block(
             xs, lens, params["encoder"][i], enc_stats[i], bcfg, cfg,
-            training, block_rng, compute_dtype, use_pallas)
+            training, block_rng, compute_dtype)
         new_enc_stats.append(s)
 
     encoded = xs[-1]                                    # (B, T', C)
