@@ -64,12 +64,23 @@ def ctc_loss(
     pos = jnp.arange(s)[None, :]
     valid_s = pos < (2 * target_lengths[:, None] + 1)              # (B, S)
 
+    # hoist the emission lookup OUT of the scan, as a one-hot MXU
+    # contraction: T in-scan gathers each lower to a serial windowed loop
+    # on TPU (~30-60 us/step — they dominated the CTC time), a single
+    # batched gather is little better and its backward is a scatter; the
+    # one-hot einsum is one clean matmul each way. HIGHEST precision
+    # keeps the looked-up values f32-exact (each output sums exactly one
+    # input; bf16 passes would round it).
+    v = log_probs.shape[2]
+    ext_oh = jax.nn.one_hot(ext, v, dtype=log_probs.dtype)        # (B, S, V)
+    lp_ext = jnp.einsum("btv,bsv->bts", log_probs, ext_oh,
+                        precision=jax.lax.Precision.HIGHEST)      # (B, T, S)
+
     # initial alpha: positions 0 (blank) and 1 (first label, if any)
-    init_lp = jnp.take_along_axis(log_probs[:, 0, :], ext, axis=1)
-    alpha0 = jnp.where((pos <= 1) & valid_s, init_lp, NEG_INF)
+    alpha0 = jnp.where((pos <= 1) & valid_s, lp_ext[:, 0], NEG_INF)
 
     def step(alpha, t):
-        lp_t = jnp.take_along_axis(log_probs[:, t, :], ext, axis=1)  # (B, S)
+        lp_t = lp_ext[:, t]                                        # (B, S)
         a_prev1 = jnp.pad(alpha, ((0, 0), (1, 0)),
                           constant_values=NEG_INF)[:, :s]
         a_prev2 = jnp.pad(alpha, ((0, 0), (2, 0)),
