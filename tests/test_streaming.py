@@ -69,7 +69,7 @@ class _FakeTranscriber:
     class opts:
         max_batch = 4
 
-    def log_probs(self, signal, lengths=None):
+    def log_probs(self, signal, lengths=None, *, as_numpy=True):
         if signal.ndim == 1:
             signal = signal[None]
         if lengths is None:

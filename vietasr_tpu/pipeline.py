@@ -172,11 +172,17 @@ class Transcriber:
 
     # -- public API --------------------------------------------------------
 
-    def log_probs(self, signal: np.ndarray, lengths=None):
-        """(B?, S) or (S,) waveform -> (log_probs, enc_lens) as np arrays.
+    def log_probs(self, signal: np.ndarray, lengths=None, *,
+                  as_numpy: bool = True):
+        """(B?, S) or (S,) waveform -> (log_probs, enc_lens).
 
         `lengths` gives per-row valid sample counts (default: every row is
-        full length) — rows may be zero-padded beyond their length."""
+        full length) — rows may be zero-padded beyond their length.
+        as_numpy=False keeps log_probs on DEVICE (enc_lens still comes to
+        host): a (B, T, V) posterior is megabytes, and over a remote-chip
+        link the transfer can cost more than the forward pass — callers
+        that decode on device (long-form stitch + device beam/greedy)
+        should never pull it to the host."""
         if signal.ndim == 1:
             signal = signal[None]
         n = signal.shape[1]
@@ -187,7 +193,9 @@ class Transcriber:
             lengths = np.full((signal.shape[0],), n, np.int32)
         lens = jnp.asarray(np.asarray(lengths, np.int32))
         lp, el, _, _ = self._fwd(jnp.asarray(padded), lens)
-        return np.asarray(lp), np.asarray(el)
+        if as_numpy:
+            return np.asarray(lp), np.asarray(el)
+        return lp, np.asarray(el)
 
     def transcribe(self, signal: np.ndarray) -> str:
         """Single-utterance transcription (reference VietASR.transcribe,

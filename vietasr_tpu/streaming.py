@@ -82,7 +82,7 @@ def transcribe_long(
     """Chunked long-form transcription through a Transcriber."""
     log_probs, total = long_form_log_probs(
         transcriber, signal, chunk_seconds=chunk_seconds,
-        overlap_seconds=overlap_seconds)
+        overlap_seconds=overlap_seconds, device=True)
     opts = getattr(transcriber, "opts", None)
     if opts is not None and opts.decoder == "device_beam":
         from vietasr_tpu.ops.device_beam import device_beam_transcripts
@@ -106,16 +106,24 @@ def transcribe_long(
             space=-1 if transcriber._device_lm_table is not None else space,
             cutoff_top_n=opts.device_beam_cutoff_top_n)[0]
     if transcriber._decoder is not None:
-        return transcriber._decoder.decode(log_probs[:total])
-    from vietasr_tpu.ops.greedy import ctc_collapse, ids_to_text
+        return transcriber._decoder.decode(np.asarray(log_probs[:total]))
+    from vietasr_tpu.ops.greedy import greedy_decode, ids_to_text
 
-    ids = ctc_collapse(np.argmax(log_probs[:total], axis=-1),
-                       blank=transcriber.cfg.num_classes)
-    return ids_to_text(ids, transcriber.cfg.labels)
+    # argmax + collapse mask on DEVICE: only the (T,) ids/mask cross the
+    # link, not the (T, V) posterior (which costs more to transfer than
+    # the whole forward pass on a remote-attached chip)
+    import jax.numpy as jnp
+
+    preds, keep = greedy_decode(log_probs[None], jnp.asarray([total]),
+                                blank=transcriber.cfg.num_classes)
+    preds = np.asarray(preds[0])
+    keep = np.asarray(keep[0])
+    return ids_to_text(preds[keep], transcriber.cfg.labels)
 
 
 def long_form_log_probs(transcriber, signal: np.ndarray, *,
-                        chunk_seconds: float, overlap_seconds: float
+                        chunk_seconds: float, overlap_seconds: float,
+                        device: bool = False
                         ) -> Tuple[np.ndarray, int]:
     """Stitched (T_total, V) log-probs for arbitrarily long audio.
 
@@ -123,7 +131,11 @@ def long_form_log_probs(transcriber, signal: np.ndarray, *,
     shapes, one compiled program) rather than run one by one — on a 300 s
     utterance this is ~8x fewer device round trips; the chunks of one
     utterance are embarrassingly parallel because overlap is handled by
-    margin-dropping, not state."""
+    margin-dropping, not state.
+
+    device=True keeps the stitched posterior ON DEVICE (slice + concat
+    are device ops) for callers that decode there; host-bound callers get
+    numpy as before."""
     sr = transcriber.cfg.featurizer.sample_rate
     hop = transcriber.cfg.featurizer.hop_length
     enc_stride = encoder_stride(transcriber.cfg.encoder)
@@ -143,7 +155,8 @@ def long_form_log_probs(transcriber, signal: np.ndarray, *,
         for i, (start, stop, _, _) in enumerate(g_spans):
             batch[i, : stop - start] = signal[start:stop]
             lens[i] = stop - start
-        lp, enc_lens = transcriber.log_probs(batch, lengths=lens)
+        lp, enc_lens = transcriber.log_probs(batch, lengths=lens,
+                                             as_numpy=not device)
         for i, (start, stop, keep_from, keep_to) in enumerate(g_spans):
             n_valid = int(enc_lens[i])
             # sample offsets -> encoder frames: ceil(x / hop) / enc_stride
@@ -151,5 +164,10 @@ def long_form_log_probs(transcriber, signal: np.ndarray, *,
             f_to = min(n_valid,
                        int(math.ceil(keep_to / hop / enc_stride)))
             pieces[g0 + i] = lp[i, f_from:f_to]
-    out = np.concatenate(pieces, axis=0)
+    if device:
+        import jax.numpy as jnp
+
+        out = jnp.concatenate(pieces, axis=0)
+    else:
+        out = np.concatenate(pieces, axis=0)
     return out, out.shape[0]
