@@ -539,14 +539,22 @@ def device_beam_search(
             u2f(st[..., C_BO1]), u2f(st[..., C_BO2]), dense=lm_dense)
         total = total + jnp.where(wh1 != 0, alpha * sw + beta, 0.0)
     best = jnp.argmax(total, axis=1)                          # (B,)
+    return reconstruct_best_path(parents, chars, best, w=w, bsz=bsz,
+                                 t_max=t_max, l_max=l_max)
 
-    # ---- best-path reconstruction by pointer doubling ----
-    # parents[t][j] maps a beam index after step t to its index before
-    # step t. The beam on the best path after step t is the suffix
-    # composition S_t = g_{t+1} o ... o g_{T-1} applied to `best`;
-    # associative_scan computes all T compositions in O(log T) parallel
-    # passes over (T, B, W) — no sequential T-step backtrace (whose ~2
-    # gathers/step would cost as much as the forward scan itself).
+
+def reconstruct_best_path(parents, chars, best, *, w: int, bsz: int,
+                          t_max: int, l_max: int):
+    """Best-path reconstruction by pointer doubling.
+
+    parents[t][j] maps a beam index after step t to its index before
+    step t. The beam on the best path after step t is the suffix
+    composition S_t = g_{t+1} o ... o g_{T-1} applied to `best`;
+    associative_scan computes all T compositions in O(log T) parallel
+    passes over (T, B, W) — no sequential T-step backtrace (whose ~2
+    gathers/step would cost as much as the forward scan itself).
+    Shared by the XLA scan path and the fused Pallas kernel
+    (ops/pallas_beam.py)."""
     identity = jnp.broadcast_to(
         jnp.arange(w, dtype=parents.dtype)[None, None], (1, bsz, w))
     cmaps = jnp.concatenate([parents[1:], identity], axis=0)  # c_t = g_{t+1}
@@ -580,8 +588,15 @@ def device_beam_search(
     return best_prefix, best_len
 
 
-def device_beam_transcripts(log_probs, lengths, labels, **kwargs):
+def device_beam_transcripts(log_probs, lengths, labels, *, impl="auto",
+                            **kwargs):
     """Convenience: run the device beam search and render texts on host.
+
+    impl="auto" routes eligible calls (canonical identity, no char-LM
+    table, pruned expansion, domain-sized word LM) to the FUSED Pallas
+    kernel on accelerator backends (ops/pallas_beam.py, ~1.9x the XLA
+    scan); "xla"/"pallas" force a path. Outputs are identical either way
+    (asserted by tests/test_pallas_beam.py).
 
     Under canonical (space-normalized) beam identity the surviving
     representative's recorded char path may carry redundant spaces that
@@ -589,9 +604,33 @@ def device_beam_transcripts(log_probs, lengths, labels, **kwargs):
     """
     import numpy as np
 
-    ids, lens = device_beam_search(
-        jnp.asarray(log_probs), jnp.asarray(lengths),
-        blank=len(labels), **kwargs)
+    word_lm = kwargs.get("word_lm")
+    eligible = (kwargs.get("lm_table") is None
+                and kwargs.get("space", -1) >= 0
+                and kwargs.get("cutoff_top_n", 0) > 0
+                and (word_lm is None
+                     or int(word_lm.packed.shape[0]) <= 4096))
+    use_pallas = impl == "pallas" or (
+        impl == "auto" and eligible and jax.default_backend() != "cpu")
+    if use_pallas:
+        from vietasr_tpu.ops.pallas_beam import (dense_lm_from_tables,
+                                                 pallas_beam_search)
+
+        pk = {k: v for k, v in kwargs.items()
+              if k in ("beam_width", "cutoff_top_n", "alpha", "beta",
+                       "space", "max_len")}
+        if word_lm is not None:
+            unk = float(np.asarray(word_lm.unk_logp))
+            pk["dense_lm"] = dense_lm_from_tables(word_lm, unk)
+            pk["unk_logp"] = unk
+        ids, lens = pallas_beam_search(
+            jnp.asarray(log_probs), jnp.asarray(lengths),
+            blank=len(labels),
+            interpret=jax.default_backend() == "cpu", **pk)
+    else:
+        ids, lens = device_beam_search(
+            jnp.asarray(log_probs), jnp.asarray(lengths),
+            blank=len(labels), **kwargs)
     ids = np.asarray(ids)
     lens = np.asarray(lens)
     texts = ["".join(labels[i] for i in ids[b, : lens[b]])
