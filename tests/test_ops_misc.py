@@ -96,3 +96,30 @@ def test_word_error_rate():
     assert abs(wer - 2.0 / 5.0) < 1e-9
     cer = word_error_rate(["abc"], ["abd"], use_cer=True)
     assert abs(cer - 1.0 / 3.0) < 1e-9
+
+
+def test_device_resampler_matches_host_polyphase():
+    """ops/resample.py must equal audio/io.resample (scipy resample_poly)
+    for up-, down- and rational-rate conversion, to fp32 tolerance."""
+    import numpy as np
+
+    from vietasr_tpu.audio.io import resample
+    from vietasr_tpu.ops.resample import make_device_resampler
+
+    rng = np.random.RandomState(0)
+    for orig, tgt, n in [(8000, 16000, 12345), (16000, 8000, 20000),
+                         (22050, 16000, 9999), (8000, 16000, 1)]:
+        x = rng.randn(n).astype(np.float32)
+        want = resample(x, orig, tgt)
+        got = np.asarray(make_device_resampler(orig, tgt)(x))
+        assert got.shape == want.shape, (orig, tgt)
+        np.testing.assert_allclose(got, want, atol=2e-6, rtol=0)
+    # identity + batched input
+    same = make_device_resampler(16000, 16000)
+    x = rng.randn(3, 100).astype(np.float32)
+    assert same(x) is x
+    up2 = make_device_resampler(8000, 16000)
+    got = np.asarray(up2(x))
+    for i in range(3):
+        np.testing.assert_allclose(got[i], resample(x[i], 8000, 16000),
+                                   atol=2e-6, rtol=0)

@@ -134,3 +134,92 @@ def test_transcribe_long_through_pipeline(tmp_path):
     out = t.transcribe_long(long_sig, chunk_seconds=10.0,
                             overlap_seconds=1.0)
     assert isinstance(out, str)
+
+
+def test_fused_longform_matches_grouped():
+    """The single-dispatch fused program must produce the same stitched
+    posterior (and frame count) as the grouped multi-dispatch path."""
+    from vietasr_tpu.streaming import (_longform_grid, _longform_program,
+                                       chunk_spans, long_form_log_probs)
+
+    t = _FakeTranscriber()
+    rng = np.random.RandomState(4)
+    signal = (rng.randn(16000 * 7) * 0.1).astype(np.float32)
+
+    want, want_total = long_form_log_probs(
+        t, signal, chunk_seconds=2.0, overlap_seconds=0.5)
+
+    chunk, overlap, _ = _longform_grid(t, 2.0, 0.5)
+    spans = chunk_spans(len(signal), chunk, overlap)
+    assert len(spans) > 2
+    step = chunk - 2 * overlap
+    n_pad = (len(spans) - 1) * step + chunk
+    flat = np.zeros((n_pad,), np.float32)
+    flat[: len(signal)] = signal
+    last_len = len(signal) - (len(spans) - 1) * step
+    fn = _longform_program(t, len(spans), chunk, overlap, want_lp=True)
+    got, got_total = fn(t.variables, jnp.asarray(flat), jnp.int32(last_len))
+    got = np.asarray(got)
+    assert int(got_total) == want_total
+    np.testing.assert_allclose(got[:want_total], want[:want_total],
+                               rtol=0, atol=2e-5)
+
+
+def test_fused_longform_transcribe_equals_grouped_decode():
+    """Transcriber.transcribe_long (fused branch) == greedy decode of the
+    grouped stitched posterior, end to end on the real vi config."""
+    from vietasr_tpu.ops.greedy import ctc_collapse, ids_to_text
+    from vietasr_tpu.pipeline import Transcriber, TranscriberOptions
+    from vietasr_tpu.streaming import long_form_log_probs
+
+    t = Transcriber(
+        "/root/reference/configs/quartznet12x1_vi.yaml",
+        options=TranscriberOptions(compute_dtype=None))
+    rng = np.random.RandomState(6)
+    sig = (rng.randn(16000 * 23) * 0.05).astype(np.float32)
+    got = t.transcribe_long(sig, chunk_seconds=10.0, overlap_seconds=1.0)
+
+    lp, total = long_form_log_probs(t, sig, chunk_seconds=10.0,
+                                    overlap_seconds=1.0)
+    ids = ctc_collapse(np.argmax(lp[:total], -1),
+                       blank=t.cfg.num_classes)
+    assert got == ids_to_text(ids, t.cfg.labels)
+
+
+def test_transcribe_long_batch_matches_individual():
+    """Pipelined batch API must return exactly what per-utterance calls do
+    (incl. the fallback for a short single-chunk utterance)."""
+    from vietasr_tpu.pipeline import Transcriber
+
+    t = Transcriber("/root/reference/configs/quartznet12x1_vi.yaml")
+    rng = np.random.RandomState(8)
+    sigs = [(rng.randn(16000 * s) * 0.05).astype(np.float32)
+            for s in (23, 31, 5)]
+    got = t.transcribe_long_batch(sigs, chunk_seconds=10.0,
+                                  overlap_seconds=1.0)
+    want = [t.transcribe_long(s, chunk_seconds=10.0, overlap_seconds=1.0)
+            for s in sigs]
+    assert got == want
+
+
+def test_fused_longform_native_rate_int16_matches_host_path():
+    """8 kHz int16 PCM through the fused device resample+convert path must
+    match host-side resample-to-float then transcribe_long."""
+    from vietasr_tpu.audio.io import resample
+    from vietasr_tpu.pipeline import Transcriber, TranscriberOptions
+
+    t = Transcriber(
+        "/root/reference/configs/quartznet12x1_vi.yaml",
+        options=TranscriberOptions(compute_dtype=None))
+    rng = np.random.RandomState(12)
+    pcm = (rng.randn(8000 * 23) * 1500).astype(np.int16)
+    got = t.transcribe_long(pcm, chunk_seconds=10.0, overlap_seconds=1.0,
+                            signal_sr=8000)
+    host = resample(pcm.astype(np.float32) / 32768.0, 8000, 16000)
+    want = t.transcribe_long(host, chunk_seconds=10.0, overlap_seconds=1.0)
+    assert got == want
+
+    # batch API, mixed rates/dtypes in one call
+    batch = t.transcribe_long_batch([pcm, pcm], signal_sr=8000,
+                                    chunk_seconds=10.0, overlap_seconds=1.0)
+    assert batch == [want, want]
