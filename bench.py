@@ -268,7 +268,7 @@ def measure_conformer_train(batch=32, seconds=15):
 
     from vietasr_tpu.config import load_config
     from vietasr_tpu.models import model_init
-    from vietasr_tpu.train.loop import make_train_step
+    from vietasr_tpu.train.loop import make_train_step, train_rng
     from vietasr_tpu.train.state import TrainState
 
     cfg = load_config(CONFIG_CONFORMER)
@@ -287,7 +287,7 @@ def measure_conformer_train(batch=32, seconds=15):
             rng.randint(0, cfg.num_classes, size=(batch, 100), dtype=np.int32)),
         "token_lens": jnp.full((batch,), 100, jnp.int32),
     }
-    key = jax.random.PRNGKey(1)
+    key = train_rng(1)      # hardware-RNG dropout keys (Trainer default)
 
     def step(state):
         new_state, metrics = train_step(state, batch_d, key)

@@ -46,9 +46,12 @@ def _linear_init(rng, fan_in, fan_out):
 
 
 def _linear(x, p, cast):
+    # MXU accumulates in fp32 (preferred_element_type); the stored result
+    # rejoins the bf16 activation stream — under training dtypes every
+    # inter-matmul tensor is half the HBM bytes of an fp32 stream
     y = jnp.einsum("...i,io->...o", cast(x), cast(p["w"]),
                    preferred_element_type=jnp.float32)
-    return y + p["b"]
+    return cast(y + p["b"])
 
 
 def _layernorm_init(d):
@@ -57,9 +60,12 @@ def _layernorm_init(d):
 
 
 def _layernorm(x, p, eps=1e-5):
-    m = jnp.mean(x, axis=-1, keepdims=True)
-    v = jnp.mean((x - m) ** 2, axis=-1, keepdims=True)
-    return (x - m) * jax.lax.rsqrt(v + eps) * p["scale"] + p["bias"]
+    # statistics always in fp32; output returns to the stream dtype
+    x32 = x.astype(jnp.float32)
+    m = jnp.mean(x32, axis=-1, keepdims=True)
+    v = jnp.mean((x32 - m) ** 2, axis=-1, keepdims=True)
+    y = (x32 - m) * jax.lax.rsqrt(v + eps) * p["scale"] + p["bias"]
+    return y.astype(x.dtype)
 
 
 def _swish(x):
@@ -174,7 +180,9 @@ def _mhsa(x, params, mask, cfg: ConformerConfig, pos_enc, cast):
                          preferred_element_type=jnp.float32)
     position = jnp.einsum("bthe,lhe->bhtl", cast(qv), cast(p),
                           preferred_element_type=jnp.float32)
-    position = _rel_shift(position)
+    # the Transformer-XL shift is a pure (B, H, T, 2T-1) relayout — run it
+    # on the stream dtype (half the HBM bytes); no accumulation happens
+    position = _rel_shift(cast(position)).astype(jnp.float32)
 
     scores = (content + position) / jnp.sqrt(jnp.asarray(dh, jnp.float32))
     scores = jnp.where(mask[:, None, None, :], scores, -1e30)
@@ -202,7 +210,7 @@ def _conv_module(x, params, stats, lens, training, cast):
         feature_group_count=d).astype(jnp.float32)
     y, new_bn = batchnorm_apply(y, params["bn"], stats["conv_bn"],
                                 training=training)
-    y = _swish(y)
+    y = cast(_swish(y))
     y = _linear(y, params["pw2"], cast)
     return y, {"conv_bn": new_bn}
 
@@ -229,7 +237,7 @@ def _subsample(x, lens, params, cast):
             padding=[(1, 1), (1, 1)],
             dimension_numbers=("NHWC", "HWIO", "NHWC")
         ).astype(jnp.float32) + params[name]["b"]
-        y = jnp.maximum(y, 0.0)
+        y = cast(jnp.maximum(y, 0.0))
         lens = (lens + 2 * 1 - 3) // 2 + 1               # k3 s2 p1
     bt = y.shape[1]
     y = y.reshape(b, bt, -1)
@@ -262,12 +270,12 @@ def conformer_apply(
         rng = jax.random.PRNGKey(0)
 
     x, lens = _subsample(feats, feat_lens, params, cast)
-    x = _linear(x, params["proj"], cast)
+    x = _linear(x, params["proj"], cast)   # bf16 stream from here on
 
     t = x.shape[1]
     pos_enc = jnp.asarray(_rel_pos_encoding(t, cfg.d_model))
     mask = jnp.arange(t)[None, :] < lens[:, None]
-    x = x * mask[..., None]
+    x = x * mask[..., None].astype(x.dtype)
 
     new_stats = {"blocks": []}
     rate = cfg.dropout

@@ -96,7 +96,11 @@ def ctc_loss(
         active = (t < input_lengths)[:, None]
         return jnp.where(active, new_alpha, alpha), None
 
-    alpha, _ = jax.lax.scan(step, alpha0, jnp.arange(1, t_max))
+    # unroll: each alpha step is ~10 tiny (B, S) ops, so the loop is
+    # issue-bound, not FLOP-bound; unrolling 8 steps per iteration lets
+    # XLA fuse across frames (measured 14.2 -> 5.1 ms fwd+bwd at the
+    # Conformer train shape, values bit-identical)
+    alpha, _ = jax.lax.scan(step, alpha0, jnp.arange(1, t_max), unroll=8)
 
     # log-likelihood: alpha at final blank (2L) and final label (2L-1)
     end_blank = jnp.take_along_axis(alpha, (2 * target_lengths)[:, None],

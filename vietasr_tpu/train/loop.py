@@ -38,6 +38,16 @@ from vietasr_tpu.train.metrics import word_error_rate
 from vietasr_tpu.train.state import TrainState
 
 
+def train_rng(seed: int) -> jax.Array:
+    """Training RNG key: the 'rbg' implementation (hardware
+    RngBitGenerator HLO). Threefry dropout masks cost real step time on
+    TPU — measured 120.7 -> 81.1 ms/step (1.49x) on the Conformer train
+    config, where the per-element xor chains dominated the matmul
+    epilogue fusions. rbg trades splittability guarantees we don't rely
+    on (keys are split linearly per step) for that speed."""
+    return jax.random.key(seed, impl="rbg")
+
+
 def batch_to_arrays(batch) -> Dict[str, jnp.ndarray]:
     return {
         "signal": jnp.asarray(batch.signal),
@@ -208,7 +218,7 @@ class Trainer:
     def fit(self, state: TrainState, batcher: Iterable, *,
             num_epochs: int = 1, eval_batcher: Optional[Iterable] = None
             ) -> TrainState:
-        rng = jax.random.PRNGKey(self.seed)
+        rng = train_rng(self.seed)
         for epoch in range(num_epochs):
             t_epoch = time.time()
             for batch in batcher:
