@@ -109,18 +109,73 @@ def conformer_flops_per_audio_second(cfg) -> float:
     return flops
 
 
-def _timeit(fn, *args, iters=5):
+def _timeit(fn, *args, iters=5, trials=3):
+    """Best-of-`trials` mean over `iters` pipelined calls. Best (not mean)
+    of trials: the shared chip shows transient contention windows where
+    ALL compute uniformly slows; the minimum is the uncontended rate."""
     out = fn(*args)
     import jax
 
     jax.block_until_ready(out)
-    out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
+    best = float("inf")
+    for _ in range(trials):
         out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best
+
+
+def _canary_tfs():
+    """bf16 MXU throughput from the TIME DIFFERENCE of a 1-matmul and a
+    33-matmul chain, synced by pulling a scalar (block_until_ready on the
+    tunnel-attached chip does not reliably wait for execution; a host
+    pull does). The difference cancels the fixed sync round trip."""
+    import jax
+    import jax.numpy as jnp
+
+    n = 4096
+    x = jnp.ones((n, n), jnp.bfloat16) * 0.01
+    w = jnp.ones((n, n), jnp.bfloat16) * 0.01
+
+    def timed(chain):
+        @jax.jit
+        def mm(x, w):
+            y = x
+            for _ in range(chain):
+                y = jnp.dot(y, w, preferred_element_type=jnp.bfloat16) \
+                    * 1e-3
+            return jnp.sum(y.astype(jnp.float32))
+
+        float(mm(x, w))                       # compile + warm
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(mm(x, w))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    dt = max(timed(33) - timed(1), 1e-6)
+    return 32 * 2 * n ** 3 / dt / 1e12
+
+
+def wait_for_quiet_chip(min_tfs=60.0, max_wait_s=1500, poll_s=90):
+    """The v5e behind the tunnel is shared: contention windows of many
+    minutes depress every compute-bound metric ~20x uniformly. Gate the
+    benchmark on a matmul canary (peak ~197 TF/s; quiet chip measures
+    150+, contended ~5-10) so a round's recorded numbers reflect the
+    hardware, not a neighbor. Returns the final canary TF/s."""
+    deadline = time.time() + max_wait_s
+    tfs = _canary_tfs()
+    while tfs < min_tfs and time.time() < deadline:
+        print(json.dumps({"note": "chip contended, waiting",
+                          "canary_tfs": round(tfs, 1)}), flush=True)
+        time.sleep(poll_s)
+        tfs = _canary_tfs()
+    return tfs
 
 
 def emit(metric, value, unit, vs_baseline=None, **extra):
@@ -442,6 +497,10 @@ def measure_torch_cpu_baseline() -> float:
 
 def main():
     baseline = measure_torch_cpu_baseline()
+    canary = wait_for_quiet_chip()
+    emit("mxu_canary", canary, "TF/s",
+         config="bf16 4096^3 matmul chain; quiet chip ~150+, "
+                "contended neighbor ~5-10 (gate for the metrics below)")
 
     value, mfu = measure_greedy(CONFIG)
     emit("greedy_inference_throughput_quartznet12x1_vi", value, "audio-s/s",
