@@ -1,0 +1,129 @@
+"""Chunked-causal Conformer streaming: the stateful chunk-at-a-time
+runtime (streaming_conformer.ConformerStream) must emit EXACTLY the
+offline `conformer_apply` forward of the same chunked model, and the
+chunked offline mode itself must be causal at chunk granularity.
+
+The reference has no streaming encoder at all (app.py buffers whole
+utterances); this is the beyond-reference WeNet/U2-style mode."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vietasr_tpu.config import (ConformerConfig, DataConfig, EncoderConfig,
+                                ModelConfig, SpecAugmentConfig)
+from vietasr_tpu.frontend.features import FeaturizerConfig
+from vietasr_tpu.models import model_init
+from vietasr_tpu.models.conformer import conformer_apply
+from vietasr_tpu.streaming_conformer import ConformerStream
+
+
+def make_cfg(chunk_size=4, left_chunks=1, conv_kernel=7):
+    conf = ConformerConfig(num_blocks=2, d_model=32, num_heads=4,
+                           ff_expansion=2, conv_kernel=conv_kernel,
+                           subsampling_channels=16, dropout=0.0,
+                           chunk_size=chunk_size, left_chunks=left_chunks)
+    return ModelConfig(
+        name="tiny-stream", labels=[" ", "a", "b", "c"],
+        featurizer=FeaturizerConfig(features=16, dither=0.0, pad_to=8),
+        encoder=EncoderConfig(blocks=(), feat_in=16),
+        spec_augment=SpecAugmentConfig(), data=DataConfig(),
+        architecture="conformer", conformer=conf)
+
+
+def offline(variables, cfg, feats):
+    lp, lens, _ = conformer_apply(
+        variables, feats[None], jnp.array([feats.shape[0]], jnp.int32),
+        cfg=cfg.conformer, training=False)
+    return np.asarray(lp[0])
+
+
+@pytest.mark.parametrize("left_chunks,conv_kernel", [(1, 7), (2, 5)])
+def test_stream_matches_offline(left_chunks, conv_kernel):
+    cfg = make_cfg(chunk_size=4, left_chunks=left_chunks,
+                   conv_kernel=conv_kernel)
+    variables = model_init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(0)
+    n_chunks = 5
+    t = 4 * cfg.conformer.chunk_size * n_chunks     # mel frames
+    feats = rng.randn(t, 16).astype(np.float32)
+
+    want = offline(variables, cfg, jnp.asarray(feats))
+
+    stream = ConformerStream(cfg, variables)
+    chunks = [feats[i * stream.t_in:(i + 1) * stream.t_in]
+              for i in range(n_chunks)]
+    got = stream.stream(chunks)
+
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_offline_chunked_is_chunk_causal():
+    """Changing input after chunk boundary must not change earlier
+    chunks' outputs (each output chunk depends only on itself + past)."""
+    cfg = make_cfg(chunk_size=4, left_chunks=1)
+    variables = model_init(jax.random.PRNGKey(1), cfg)
+    rng = np.random.RandomState(1)
+    t = 4 * 4 * 3                                    # 3 chunks of mel
+    a = rng.randn(t, 16).astype(np.float32)
+    b = a.copy()
+    b[2 * 16:] += rng.randn(16, 16).astype(np.float32)   # perturb chunk 3
+
+    lp_a = offline(variables, cfg, jnp.asarray(a))
+    lp_b = offline(variables, cfg, jnp.asarray(b))
+    # output frames of chunks 1-2 (post-subsample frames 0..7) unchanged
+    np.testing.assert_allclose(lp_a[:8], lp_b[:8], atol=1e-5)
+    assert np.abs(lp_a[8:] - lp_b[8:]).max() > 1e-3
+
+
+def test_stream_restart_and_state_independence():
+    """Two interleaved streams don't share state; restarting reproduces."""
+    cfg = make_cfg()
+    variables = model_init(jax.random.PRNGKey(2), cfg)
+    rng = np.random.RandomState(2)
+    stream = ConformerStream(cfg, variables)
+    x1 = [rng.randn(stream.t_in, 16).astype(np.float32) for _ in range(2)]
+    first = stream.stream(x1)
+    again = stream.stream(x1)
+    np.testing.assert_allclose(first, again, atol=1e-6)
+
+
+def test_stream_rejects_bad_configs():
+    cfg = make_cfg(chunk_size=0)
+    variables = model_init(jax.random.PRNGKey(0), cfg)
+    with pytest.raises(ValueError, match="chunk"):
+        ConformerStream(cfg, variables)
+
+    cfg = make_cfg(chunk_size=4)
+    variables = model_init(jax.random.PRNGKey(0), cfg)
+    stream = ConformerStream(cfg, variables)
+    with pytest.raises(ValueError, match="frames"):
+        stream.stream([np.zeros((7, 16), np.float32)])
+
+
+def test_full_context_unaffected_by_flag_default():
+    """chunk_size=0 (default) keeps the original full-context behavior:
+    symmetric subsample padding and full attention — regression guard
+    that adding the streaming mode didn't change offline models."""
+    conf = ConformerConfig(num_blocks=1, d_model=32, num_heads=4,
+                           ff_expansion=2, conv_kernel=7,
+                           subsampling_channels=16, dropout=0.0)
+    assert conf.chunk_size == 0
+    from vietasr_tpu.models.conformer import init_conformer
+    variables = init_conformer(jax.random.PRNGKey(0), conf, feat_in=16,
+                               num_classes=4)
+    feats = jnp.asarray(np.random.RandomState(0).randn(1, 32, 16)
+                        .astype(np.float32))
+    lp, lens, _ = conformer_apply(variables, feats,
+                                  jnp.array([32], jnp.int32), cfg=conf)
+    assert lp.shape == (1, 8, 5)
+    # full-context: a late-input perturbation DOES change early outputs
+    feats2 = feats.at[0, 28:].add(1.0)
+    lp2, _, _ = conformer_apply(variables, feats2,
+                                jnp.array([32], jnp.int32), cfg=conf)
+    assert np.abs(np.asarray(lp2[0, :4] - lp[0, :4])).max() > 1e-5

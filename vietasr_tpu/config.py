@@ -91,6 +91,13 @@ class ConformerConfig:
     dropout: float = 0.1
     subsampling_factor: int = 4       # conv2d subsampling, stride 2 per stage
     subsampling_channels: int = 176
+    # streaming (chunked-causal) mode, WeNet/U2-style: 0 = full-context
+    # offline attention; > 0 = queries see their own chunk plus
+    # `left_chunks` previous chunks (frames AFTER subsampling), depthwise
+    # conv and conv2d subsampling become left-padded (causal), enabling
+    # the exact stateful stream in streaming_conformer.py
+    chunk_size: int = 0
+    left_chunks: int = 1
 
     @classmethod
     def from_dict(cls, d: dict) -> "ConformerConfig":

@@ -138,16 +138,23 @@ def init_conformer(rng: jax.Array, cfg: ConformerConfig, feat_in: int,
 # relative-position MHSA
 
 
-def _rel_pos_encoding(t: int, d: int) -> np.ndarray:
-    """Sinusoidal encodings for relative offsets [t-1 ... -(t-1)],
-    shape (2t-1, d)."""
-    pos = np.arange(t - 1, -t, -1, dtype=np.float64)[:, None]
+def rel_pos_encoding_range(max_off: int, min_off: int, d: int) -> np.ndarray:
+    """Sinusoidal encodings for relative offsets [max_off ... min_off]
+    (descending), shape (max_off - min_off + 1, d). Shared with the
+    chunked streaming runtime so offline and streaming attention read
+    IDENTICAL encodings for the same offset."""
+    pos = np.arange(max_off, min_off - 1, -1, dtype=np.float64)[:, None]
     div = np.exp(np.arange(0, d, 2, dtype=np.float64)
                  * (-np.log(10000.0) / d))
-    enc = np.zeros((2 * t - 1, d))
+    enc = np.zeros((pos.shape[0], d))
     enc[:, 0::2] = np.sin(pos * div)
     enc[:, 1::2] = np.cos(pos * div)
     return enc.astype(np.float32)
+
+
+def _rel_pos_encoding(t: int, d: int) -> np.ndarray:
+    """Offsets [t-1 ... -(t-1)], shape (2t-1, d)."""
+    return rel_pos_encoding_range(t - 1, -(t - 1), d)
 
 
 def _rel_shift(x):
@@ -185,7 +192,9 @@ def _mhsa(x, params, mask, cfg: ConformerConfig, pos_enc, cast):
     position = _rel_shift(cast(position)).astype(jnp.float32)
 
     scores = (content + position) / jnp.sqrt(jnp.asarray(dh, jnp.float32))
-    scores = jnp.where(mask[:, None, None, :], scores, -1e30)
+    if mask.ndim == 2:                 # (B, S): key-validity only
+        mask = mask[:, None, None, :]
+    scores = jnp.where(mask, scores, -1e30)
     attn = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("bhts,bshe->bthe", cast(attn), cast(v),
                      preferred_element_type=jnp.float32)
@@ -196,16 +205,17 @@ def _mhsa(x, params, mask, cfg: ConformerConfig, pos_enc, cast):
 # conv module
 
 
-def _conv_module(x, params, stats, lens, training, cast):
+def _conv_module(x, params, stats, lens, training, cast, causal=False):
     y = _layernorm(x, params["ln"])
     y = _linear(y, params["pw1"], cast)                   # (B, T, 2D)
     a, g = jnp.split(y, 2, axis=-1)
     y = a * jax.nn.sigmoid(g)                             # GLU
     y = y * length_mask(y.shape[1], lens, y.dtype)        # mask before conv
     k, d = params["dw"].shape
+    pad = (k - 1, 0) if causal else (k // 2, k // 2)
     y = jax.lax.conv_general_dilated(
         cast(y), cast(params["dw"].reshape(k, 1, d)),
-        window_strides=(1,), padding=[(k // 2, k // 2)],
+        window_strides=(1,), padding=[pad],
         dimension_numbers=("NWC", "WIO", "NWC"),
         feature_group_count=d).astype(jnp.float32)
     y, new_bn = batchnorm_apply(y, params["bn"], stats["conv_bn"],
@@ -226,15 +236,20 @@ def _ffn(x, params, rate, rng, training, cast):
 # forward
 
 
-def _subsample(x, lens, params, cast):
-    """Conv2d 4x subsampling: (B, T, F) -> (B, T/4, C*F/4)."""
+def _subsample(x, lens, params, cast, causal=False):
+    """Conv2d 4x subsampling: (B, T, F) -> (B, T/4, C*F/4).
+
+    causal=True left-pads the TIME dim ((2, 0) instead of (1, 1); same
+    output length) so each output frame depends only on past input —
+    required by the chunked streaming mode."""
     b, t, f = x.shape
+    tpad = (2, 0) if causal else (1, 1)
     y = x[..., None]                                     # NHWC: (B, T, F, 1)
     for name in ("sub1", "sub2"):
         w = params[name]["w"]
         y = jax.lax.conv_general_dilated(
             cast(y), cast(w), window_strides=(2, 2),
-            padding=[(1, 1), (1, 1)],
+            padding=[tpad, (1, 1)],
             dimension_numbers=("NHWC", "HWIO", "NHWC")
         ).astype(jnp.float32) + params[name]["b"]
         y = cast(jnp.maximum(y, 0.0))
@@ -269,13 +284,24 @@ def conformer_apply(
     if rng is None:
         rng = jax.random.PRNGKey(0)
 
-    x, lens = _subsample(feats, feat_lens, params, cast)
+    chunked = cfg.chunk_size > 0
+    x, lens = _subsample(feats, feat_lens, params, cast, causal=chunked)
     x = _linear(x, params["proj"], cast)   # bf16 stream from here on
 
     t = x.shape[1]
     pos_enc = jnp.asarray(_rel_pos_encoding(t, cfg.d_model))
     mask = jnp.arange(t)[None, :] < lens[:, None]
     x = x * mask[..., None].astype(x.dtype)
+    if chunked:
+        # chunked-causal attention (WeNet/U2 style): query i sees keys in
+        # chunks [chunk(i) - left_chunks, chunk(i)] — full attention
+        # inside its own chunk, bounded left context, no future chunks
+        ci = jnp.arange(t) // cfg.chunk_size
+        ok = (ci[None, :] <= ci[:, None]) \
+            & (ci[None, :] >= ci[:, None] - cfg.left_chunks)  # (T, S)
+        att_mask = mask[:, None, None, :] & ok[None, None]    # (B,1,T,S)
+    else:
+        att_mask = mask
 
     new_stats = {"blocks": []}
     rate = cfg.dropout
@@ -284,10 +310,11 @@ def conformer_apply(
         r1a, r1b, r2, r3, r4a, r4b = keys
         x = x + 0.5 * dropout(_ffn(x, bp["ff1"], rate, r1a, training, cast),
                               rate, r1b, training)
-        attn = _mhsa(_layernorm(x, bp["mhsa"]["ln"]), bp["mhsa"], mask,
+        attn = _mhsa(_layernorm(x, bp["mhsa"]["ln"]), bp["mhsa"], att_mask,
                      cfg, pos_enc, cast)
         x = x + dropout(attn, rate, r2, training)
-        conv, s = _conv_module(x, bp["conv"], bstat, lens, training, cast)
+        conv, s = _conv_module(x, bp["conv"], bstat, lens, training, cast,
+                               causal=chunked)
         x = x + dropout(conv, rate, r3, training)
         x = x + 0.5 * dropout(_ffn(x, bp["ff2"], rate, r4a, training, cast),
                               rate, r4b, training)

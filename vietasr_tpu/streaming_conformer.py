@@ -1,0 +1,243 @@
+"""Stateful chunked streaming for the Conformer encoder.
+
+The reference has no Conformer at all (README TODO,
+/root/reference/README.md:68-71) and no true streaming (app.py buffers
+whole utterances). This module completes the beyond-reference Conformer
+with the production streaming mode used by cache-aware ASR systems
+(WeNet/U2-style): the model is configured chunked-causal
+(`ConformerConfig.chunk_size > 0` — chunk-limited attention with
+`left_chunks` of left context, left-padded depthwise conv and conv2d
+subsampling, models/conformer.py), and inference advances one chunk at a
+time through a jitted step carrying per-layer caches:
+
+- conv2d subsampling: 2 input-time rows carried per stage (valid conv
+  over [carry ++ chunk] == offline left-padded conv),
+- per block: the last `left_chunks * chunk_size` frames of the
+  post-FF1 residual stream (the attention key/value source) with a
+  valid-count, and the last conv_kernel-1 frames of the GLU output
+  (depthwise conv carry),
+- BatchNorm runs in eval mode (running stats) — streaming is inference.
+
+Outputs are EXACT: chunk-by-chunk emissions equal the offline
+`conformer_apply` forward of the same chunked-causal model on the full
+utterance (asserted to fp32 tolerance by tests/test_streaming_conformer.py),
+because every module is either per-frame, carry-exact, or sees exactly
+the same masked context. Algorithmic latency = one chunk.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vietasr_tpu.config import ConformerConfig, ModelConfig
+from vietasr_tpu.models.conformer import rel_pos_encoding_range
+from vietasr_tpu.models.layers import batchnorm_apply
+
+
+@dataclasses.dataclass
+class ConformerStreamState:
+    """All carries; a pytree with static shapes."""
+
+    sub1: jnp.ndarray                    # (2, F, 1) stage-1 time carry
+    sub2: jnp.ndarray                    # (2, F/2, C) stage-2 time carry
+    kv: Tuple[jnp.ndarray, ...]          # per block (L, D) post-FF1 cache
+    kv_len: jnp.ndarray                  # () valid cached frames (shared)
+    conv: Tuple[jnp.ndarray, ...]        # per block (k-1, D) GLU carry
+
+
+jax.tree_util.register_pytree_node(
+    ConformerStreamState,
+    lambda s: ((s.sub1, s.sub2, s.kv, s.kv_len, s.conv), None),
+    lambda aux, ch: ConformerStreamState(*ch))
+
+
+def _ln(x, p, eps=1e-5):
+    m = jnp.mean(x, axis=-1, keepdims=True)
+    v = jnp.mean((x - m) ** 2, axis=-1, keepdims=True)
+    return (x - m) * jax.lax.rsqrt(v + eps) * p["scale"] + p["bias"]
+
+
+def _lin(x, p):
+    return x @ p["w"] + p["b"]
+
+
+def _swish(x):
+    return x * jax.nn.sigmoid(x)
+
+
+class ConformerStream:
+    """Chunk-at-a-time inference over a chunked-causal Conformer.
+
+    Feed FEATURE chunks of exactly 4 * chunk_size mel frames
+    (the conv2d subsampling is 4x); each step emits chunk_size frames of
+    CTC log-probs. For raw-audio streaming compose with the featurizer
+    carry logic in streaming_online.py (chunk = 4 * chunk_size * hop
+    samples; per-utterance normalization becomes causal running stats,
+    the documented SURVEY §5.7 deviation).
+    """
+
+    def __init__(self, cfg: ModelConfig, variables: dict):
+        if cfg.architecture != "conformer":
+            raise ValueError("ConformerStream requires a conformer config")
+        ccfg: ConformerConfig = cfg.conformer
+        if ccfg.chunk_size <= 0:
+            raise ValueError(
+                "streaming requires a chunked-causal model "
+                "(ConformerConfig.chunk_size > 0); full-context conformers "
+                "attend to the whole utterance and cannot stream exactly")
+        self.cfg = cfg
+        self.ccfg = ccfg
+        self.variables = variables
+        self.feat_in = cfg.featurizer.features * cfg.featurizer.frame_splicing
+        self.c_out = ccfg.chunk_size                      # frames emitted
+        self.t_in = 4 * ccfg.chunk_size                   # mel frames fed
+        self.l_ctx = ccfg.left_chunks * ccfg.chunk_size
+        # positional encodings for offsets (L + il) - j, il in [0, C),
+        # j in [0, L + C): [L+C-1 ... -(C-1)], identical values to the
+        # offline _rel_pos_encoding at equal offsets
+        c, l = self.c_out, self.l_ctx
+        self._pos = jnp.asarray(rel_pos_encoding_range(
+            l + c - 1, -(c - 1), ccfg.d_model))
+        # shift gather: position[il, j] = raw[il, (C-1) - il + j]
+        self._pos_idx = jnp.asarray(
+            (c - 1) - np.arange(c)[:, None] + np.arange(l + c)[None, :],
+            jnp.int32)
+        self._step = jax.jit(self._step_impl)
+
+    # ------------------------------------------------------------------
+
+    def init_state(self) -> ConformerStreamState:
+        p = self.variables["params"]
+        f = self.feat_in
+        c_sub = p["sub1"]["w"].shape[-1]
+        f2 = (f + 2 - 3) // 2 + 1
+        d = self.ccfg.d_model
+        k = self.ccfg.conv_kernel
+        n = self.ccfg.num_blocks
+        return ConformerStreamState(
+            sub1=jnp.zeros((2, f, 1), jnp.float32),
+            sub2=jnp.zeros((2, f2, c_sub), jnp.float32),
+            kv=tuple(jnp.zeros((self.l_ctx, d), jnp.float32)
+                     for _ in range(n)),
+            kv_len=jnp.zeros((), jnp.int32),
+            conv=tuple(jnp.zeros((k - 1, d), jnp.float32)
+                       for _ in range(n)),
+        )
+
+    # ------------------------------------------------------------------
+
+    def _sub_stage(self, carry, x, p):
+        """x (T, F, Cin), carry (2, F, Cin): causal-in-time conv2d k3 s2.
+        Valid conv over [carry ++ x] == offline time pad (2, 0)."""
+        xin = jnp.concatenate([carry, x], axis=0)[None]    # (1,T+2,F,Cin)
+        y = jax.lax.conv_general_dilated(
+            xin, p["w"], window_strides=(2, 2), padding=[(0, 0), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))[0] + p["b"]
+        y = jnp.maximum(y, 0.0)
+        return xin[0, -2:], y
+
+    def _mhsa_chunk(self, x_cur, cache, kv_len, p):
+        """x_cur (C, D) current post-FF1 frames (pre-LN), cache (L, D)."""
+        ccfg = self.ccfg
+        h = ccfg.num_heads
+        d = ccfg.d_model
+        dh = d // h
+        c, l = self.c_out, self.l_ctx
+        full = jnp.concatenate([cache, x_cur], axis=0)     # (S, D)
+        y = _ln(full, p["ln"])
+        q = _lin(y[l:], p["q"]).reshape(c, h, dh)
+        k = _lin(y, p["k"]).reshape(l + c, h, dh)
+        v = _lin(y, p["v"]).reshape(l + c, h, dh)
+        pos = (self._pos @ p["pos"]["w"]).reshape(-1, h, dh)
+
+        qu = q + p["u"][None]
+        qv = q + p["vb"][None]
+        content = jnp.einsum("ihe,jhe->hij", qu, k)
+        raw = jnp.einsum("ihe,lhe->hil", qv, pos)          # (H, C, Lp)
+        position = jnp.take_along_axis(
+            raw, jnp.broadcast_to(self._pos_idx[None], (h, c, l + c)),
+            axis=-1)
+        scores = (content + position) / jnp.sqrt(jnp.asarray(dh, jnp.float32))
+        # cache is right-aligned: key j < L valid iff j >= L - kv_len
+        jpos = jnp.arange(l + c)
+        valid = jpos >= (l - kv_len)
+        scores = jnp.where(valid[None, None, :], scores, -1e30)
+        attn = jax.nn.softmax(scores, axis=-1)
+        out = jnp.einsum("hij,jhe->ihe", attn, v).reshape(c, d)
+        return _lin(out, p["out"])
+
+    def _conv_chunk(self, x, carry, p, stats):
+        y = _ln(x, p["ln"])
+        y = _lin(y, p["pw1"])
+        a, g = jnp.split(y, 2, axis=-1)
+        y = a * jax.nn.sigmoid(g)                          # GLU (C, D)
+        k, d = p["dw"].shape
+        yin = jnp.concatenate([carry, y], axis=0)          # (k-1+C, D)
+        z = jax.lax.conv_general_dilated(
+            yin[None], p["dw"].reshape(k, 1, d), window_strides=(1,),
+            padding=[(0, 0)], dimension_numbers=("NWC", "WIO", "NWC"),
+            feature_group_count=d)[0]
+        z, _ = batchnorm_apply(z[None], p["bn"], stats["conv_bn"],
+                               training=False)
+        z = _swish(z[0])
+        z = _lin(z, p["pw2"])
+        return yin[-(k - 1):], z
+
+    def _ffn(self, x, p):
+        return _lin(_swish(_lin(_ln(x, p["ln"]), p["in"])), p["out"])
+
+    def _step_impl(self, state: ConformerStreamState, feats: jnp.ndarray):
+        """feats (4*chunk_size, F) mel frames -> (state, (chunk_size, V+1))
+        log-probs."""
+        p = self.variables["params"]
+        stats = self.variables["batch_stats"]
+        s1, y = self._sub_stage(state.sub1, feats[..., None], p["sub1"])
+        s2, y = self._sub_stage(state.sub2, y, p["sub2"])
+        x = _lin(y.reshape(y.shape[0], -1), p["proj"])     # (C, D)
+
+        new_kv: List[jnp.ndarray] = []
+        new_conv: List[jnp.ndarray] = []
+        for bi, bp in enumerate(p["blocks"]):
+            x = x + 0.5 * self._ffn(x, bp["ff1"])
+            new_kv.append(jnp.concatenate(
+                [state.kv[bi], x], axis=0)[-self.l_ctx:])
+            x = x + self._mhsa_chunk(x, state.kv[bi], state.kv_len,
+                                     bp["mhsa"])
+            carry, conv = self._conv_chunk(x, state.conv[bi], bp["conv"],
+                                           stats["blocks"][bi])
+            new_conv.append(carry)
+            x = x + conv
+            x = x + 0.5 * self._ffn(x, bp["ff2"])
+            x = _ln(x, bp["final_ln"])
+
+        logits = _lin(x, p["decoder"])
+        log_probs = jax.nn.log_softmax(logits, axis=-1)
+        new_state = ConformerStreamState(
+            sub1=s1, sub2=s2, kv=tuple(new_kv),
+            kv_len=jnp.minimum(state.kv_len + self.c_out, self.l_ctx),
+            conv=tuple(new_conv))
+        return new_state, log_probs
+
+    # ------------------------------------------------------------------
+
+    def stream(self, feat_chunks) -> np.ndarray:
+        """Feed (4*chunk_size, F) mel-frame chunks; returns concatenated
+        (T_out, V+1) log-probs."""
+        state = self.init_state()
+        outs: List[np.ndarray] = []
+        for ch in feat_chunks:
+            ch = jnp.asarray(ch, jnp.float32)
+            if ch.shape[0] != self.t_in:
+                raise ValueError(
+                    f"feature chunk must be exactly {self.t_in} frames "
+                    f"(4 * chunk_size); pad the final chunk")
+            state, lp = self._step(state, ch)
+            outs.append(np.asarray(lp))
+        if not outs:
+            return np.zeros((0, 1), np.float32)
+        return np.concatenate(outs, axis=0)
