@@ -106,6 +106,89 @@ def test_stream_rejects_bad_configs():
         stream.stream([np.zeros((7, 16), np.float32)])
 
 
+def make_raw_cfg(chunk_size=4, left_chunks=2):
+    cfg = make_cfg(chunk_size=chunk_size, left_chunks=left_chunks)
+    feat = dataclasses.replace(cfg.featurizer, normalize="", dither=0.0,
+                               pad_to=1)
+    return dataclasses.replace(cfg, featurizer=feat)
+
+
+def test_raw_audio_stream_matches_offline_pipeline():
+    """Raw audio in, log-probs out: the online transcriber (stateful
+    featurizer + chunked encoder) equals the OFFLINE featurizer + chunked
+    conformer on the zero-context-prefixed signal — whole-pipeline
+    streaming exactness, the claim the quartznet path makes in
+    test_streaming_online, now for the conformer."""
+    from vietasr_tpu.frontend.features import make_featurizer
+    from vietasr_tpu.streaming_conformer import ConformerOnlineTranscriber
+
+    cfg = make_raw_cfg()
+    variables = model_init(jax.random.PRNGKey(3), cfg)
+    ot = ConformerOnlineTranscriber(cfg, variables, causal_norm=False)
+
+    rng = np.random.RandomState(3)
+    n_chunks = 6
+    cs = ot.required_chunk_samples
+    signal = (rng.randn(n_chunks * cs) * 0.1).astype(np.float32)
+    chunks = [signal[i * cs:(i + 1) * cs] for i in range(n_chunks)]
+    got = ot.stream(chunks, drop_prefix=False)
+
+    # offline: featurize the zero-prefixed signal, take the exact frame
+    # window the stream saw, run the offline chunked forward
+    fc = cfg.featurizer
+    hop, n_fft = fc.hop_length, fc.fft_length
+    carry = ot._sf.audio_carry
+    z_len = -(-carry // hop) * hop
+    featurize = make_featurizer(fc)
+    feats, flens = featurize(
+        jnp.asarray(np.concatenate([np.zeros(z_len, np.float32), signal]))
+        [None],
+        jnp.asarray([z_len + len(signal)], np.int32))
+    offset = (z_len - (carry - n_fft // 2)) // hop
+    window = np.asarray(feats[0])[offset:offset + n_chunks * ot._enc.t_in]
+    want = offline(variables, cfg, jnp.asarray(window))
+
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+    # public API drops the zero-context prefix
+    dropped = ot.stream(chunks)
+    assert len(dropped) == len(got) - ot.prefix_frames
+
+
+def test_conformer_stream_pool():
+    """N concurrent conformer sessions batch through one vmapped step and
+    stay isolated; pool output equals the single-stream transcriber."""
+    from vietasr_tpu.serve.streams import IncrementalGreedy, StreamPool
+    from vietasr_tpu.streaming_conformer import ConformerOnlineTranscriber
+
+    cfg = make_raw_cfg()
+    variables = model_init(jax.random.PRNGKey(4), cfg)
+    ot = ConformerOnlineTranscriber(cfg, variables, causal_norm=False)
+    pool = StreamPool(ot, slots=3, chunk_samples=999)   # overridden
+    assert pool.chunk_samples == ot.required_chunk_samples
+
+    rng = np.random.RandomState(4)
+    cs = ot.required_chunk_samples
+    sig_a = (rng.randn(4 * cs) * 0.1).astype(np.float32)
+    sig_b = (rng.randn(4 * cs) * 0.1).astype(np.float32)
+    chunks_a = [sig_a[i * cs:(i + 1) * cs] for i in range(4)]
+    chunks_b = [sig_b[i * cs:(i + 1) * cs] for i in range(4)]
+
+    ref_a = IncrementalGreedy(cfg.labels, cfg.num_classes)
+    ref_a.feed(ot.stream(chunks_a))
+    ref_b = IncrementalGreedy(cfg.labels, cfg.num_classes)
+    ref_b.feed(ot.stream(chunks_b))
+
+    sa, sb = pool.open(), pool.open()
+    for ca, cb in zip(chunks_a, chunks_b):
+        pool.feed({sa: ca, sb: cb})
+    assert pool.decoders[sa].ids == ref_a.ids
+    assert pool.decoders[sb].ids == ref_b.ids
+    pool.close(sa)
+    pool.close(sb)
+
+
 def test_full_context_unaffected_by_flag_default():
     """chunk_size=0 (default) keeps the original full-context behavior:
     symmetric subsample padding and full attention — regression guard

@@ -173,9 +173,16 @@ def cmd_serve(args) -> int:
     pool = None
     if args.streaming:
         from vietasr_tpu.serve.streams import StreamPool
-        from vietasr_tpu.streaming_online import OnlineTranscriber
 
-        ot = OnlineTranscriber(t.cfg, t.variables)
+        if t.cfg.architecture == "conformer":
+            from vietasr_tpu.streaming_conformer import \
+                ConformerOnlineTranscriber
+
+            ot = ConformerOnlineTranscriber(t.cfg, t.variables)
+        else:
+            from vietasr_tpu.streaming_online import OnlineTranscriber
+
+            ot = OnlineTranscriber(t.cfg, t.variables)
         pool = StreamPool(ot, slots=args.stream_slots,
                           decoder=args.stream_decoder,
                           beam_width=args.beam_width)

@@ -80,7 +80,13 @@ class IncrementalBeam:
 
 
 class StreamPool:
-    """Fixed pool of streaming slots advanced by one vmapped TPU step."""
+    """Fixed pool of streaming slots advanced by one vmapped TPU step.
+
+    `transcriber` is any stateful online transcriber exposing
+    `init_state` / `_step_impl` / `prefix_frames` / `out_frames` / `cfg`:
+    streaming_online.OnlineTranscriber (QuartzNet ring-buffer streams) or
+    streaming_conformer.ConformerOnlineTranscriber (chunked-causal
+    Conformer; fixes chunk_samples to its attention chunk)."""
 
     def __init__(self, transcriber: OnlineTranscriber, *, slots: int = 8,
                  chunk_samples: int = 3200, decoder: str = "greedy",
@@ -88,6 +94,10 @@ class StreamPool:
                  lm_alpha: float = 0.5, lm_beta: float = 1.5):
         self.ot = transcriber
         self.slots = slots
+        required = getattr(transcriber, "required_chunk_samples", None)
+        if required is not None and chunk_samples != required:
+            # chunked-causal encoders consume a fixed attention chunk
+            chunk_samples = required
         self.chunk_samples = chunk_samples
         self.decoder_kind = decoder
         self._lm = None
@@ -144,11 +154,7 @@ class StreamPool:
         surfaced during the drain (or, with return_pieces, the per-chunk
         emissions — each piece is one protocol message: plain text appends,
         a "\\r"-prefixed piece replaces the whole line)."""
-        from vietasr_tpu.streaming import encoder_stride
-
-        stride = encoder_stride(self.ot.cfg.encoder)
-        frames_per_chunk = self.chunk_samples // \
-            (self.ot.cfg.featurizer.hop_length * stride)
+        frames_per_chunk = self.ot.out_frames(self.chunk_samples)
         silence = np.zeros(self.chunk_samples, np.float32)
         emitted = []
         for _ in range(self.ot.prefix_frames // max(frames_per_chunk, 1) + 1):

@@ -241,3 +241,89 @@ class ConformerStream:
         if not outs:
             return np.zeros((0, 1), np.float32)
         return np.concatenate(outs, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# raw-audio online transcriber (StreamPool-compatible)
+
+
+@dataclasses.dataclass
+class ConformerOnlineState:
+    """Featurizer carry 5-tuple + encoder caches; a static-shape pytree."""
+
+    feat: Tuple[jnp.ndarray, ...]
+    enc: ConformerStreamState
+
+
+jax.tree_util.register_pytree_node(
+    ConformerOnlineState,
+    lambda s: ((s.feat, s.enc), None),
+    lambda aux, ch: ConformerOnlineState(*ch))
+
+
+class ConformerOnlineTranscriber:
+    """Raw-audio real-time streaming over a chunked-causal Conformer.
+
+    Same duck-typed interface as streaming_online.OnlineTranscriber
+    (`init_state` / `_step_impl` / `prefix_frames` / `out_frames` / `cfg`)
+    so serve.streams.StreamPool batches N concurrent Conformer sessions
+    with one vmapped TPU step. Each step consumes EXACTLY
+    `required_chunk_samples` = 4 * chunk_size * hop raw samples
+    (one attention chunk; e.g. 0.64 s at chunk_size=16, 10 ms hop) and
+    emits chunk_size frames of CTC log-probs. Featurizer normalization is
+    causal running stats (the SURVEY §5.7 streaming deviation).
+
+    The reference has nothing comparable: its demo buffers the whole
+    utterance and runs batch inference (/root/reference/app.py:58-69).
+    """
+
+    def __init__(self, cfg: ModelConfig, variables: dict,
+                 *, causal_norm: bool = True):
+        from vietasr_tpu.streaming_online import StreamingFeaturizer
+
+        self._enc = ConformerStream(cfg, variables)
+        self.cfg = cfg
+        self.variables = variables
+        self._sf = StreamingFeaturizer(cfg.featurizer,
+                                       causal_norm=causal_norm)
+        self.required_chunk_samples = \
+            self._enc.t_in * cfg.featurizer.hop_length
+        self._step = jax.jit(self._step_impl)
+
+    @property
+    def prefix_frames(self) -> int:
+        """Output frames at stream start attributable to the featurizer's
+        zero-context carry: the first j mel frames are junk and the causal
+        4x subsample emits one frame per 4 inputs, so ceil(j/4) output
+        frames lead the audible content (callers drop them)."""
+        return -(-self._sf.junk_frames // 4)
+
+    def out_frames(self, samples: int) -> int:
+        """Encoder frames emitted per `samples`-long raw chunk."""
+        return samples // (self.cfg.featurizer.hop_length * 4)
+
+    def init_state(self) -> ConformerOnlineState:
+        return ConformerOnlineState(feat=self._sf.init_fields(),
+                                    enc=self._enc.init_state())
+
+    def _step_impl(self, state: ConformerOnlineState, chunk: jnp.ndarray):
+        feat, frames = self._sf.step(state.feat, chunk)
+        enc, lp = self._enc._step_impl(state.enc, frames)
+        return ConformerOnlineState(feat=feat, enc=enc), lp
+
+    def stream(self, chunks, *, drop_prefix: bool = True) -> np.ndarray:
+        """Feed raw-sample chunks of exactly `required_chunk_samples`;
+        returns concatenated (T_out, V+1) log-probs."""
+        state = self.init_state()
+        outs: List[np.ndarray] = []
+        for chunk in chunks:
+            if len(chunk) != self.required_chunk_samples:
+                raise ValueError(
+                    f"chunk must be exactly {self.required_chunk_samples} "
+                    f"samples (4 * chunk_size * hop); pad the final chunk")
+            state, lp = self._step(state, jnp.asarray(chunk, jnp.float32))
+            outs.append(np.asarray(lp))
+        if not outs:
+            return np.zeros((0, 1), np.float32)
+        out = np.concatenate(outs, axis=0)
+        return out[self.prefix_frames:] if drop_prefix else out

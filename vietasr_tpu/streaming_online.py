@@ -38,6 +38,92 @@ from vietasr_tpu.frontend.mel import mel_filterbank
 from vietasr_tpu.models.layers import depthwise_conv1d, pointwise_conv
 
 
+class StreamingFeaturizer:
+    """Stateful chunked log-mel frontend shared by every online encoder
+    (QuartzNet ring-buffer streaming below, Conformer chunked streaming in
+    streaming_conformer.py).
+
+    State is a flat 5-tuple of arrays `(audio, preemph_last, norm_count,
+    norm_mean, norm_m2)` so callers can embed it in their own state
+    pytrees. `step(fields, chunk)` consumes a raw-sample chunk (multiple
+    of hop) and emits exactly `len(chunk)/hop` frames whose centers land
+    on the offline hop grid; normalization is causal running stats (the
+    documented SURVEY §5.7 deviation) or disabled."""
+
+    def __init__(self, fc: FeaturizerConfig, *, causal_norm: bool = True):
+        if fc.frame_splicing != 1:
+            raise NotImplementedError(
+                "online streaming requires frame_splicing == 1")
+        self.fc = fc
+        self.causal_norm = causal_norm
+        self._dft = jnp.asarray(_windowed_dft_matrix(fc))
+        self._mel = jnp.asarray(mel_filterbank(
+            fc.sample_rate, fc.fft_length, fc.features, fc.lowfreq,
+            fc.highfreq).T)
+        # audio carry length: must satisfy L === n_fft//2 (mod hop) so that
+        # emitted frame centers land on the offline hop grid
+        n_fft, hop = fc.fft_length, fc.hop_length
+        base = n_fft - hop
+        self.audio_carry = base + ((n_fft // 2 - base) % hop)
+
+    @property
+    def junk_frames(self) -> int:
+        """Frames at stream start computed from the zero carry beyond the
+        offline center pad (callers fold this into their prefix drop)."""
+        fc = self.fc
+        return (self.audio_carry - fc.fft_length // 2) // fc.hop_length + 1
+
+    def init_fields(self):
+        fc = self.fc
+        return (jnp.zeros((self.audio_carry,), jnp.float32),
+                jnp.zeros((), jnp.float32),
+                jnp.zeros((), jnp.float32),
+                jnp.zeros((fc.features,), jnp.float32),
+                jnp.zeros((fc.features,), jnp.float32))
+
+    def step(self, fields, chunk: jnp.ndarray):
+        """fields: the 5-tuple; chunk: (S,) raw samples, S a multiple of
+        hop. Returns (new_fields, (S/hop, n_mels) frames)."""
+        audio, preemph_last, norm_count, norm_mean, norm_m2 = fields
+        fc = self.fc
+        hop, n_fft = fc.hop_length, fc.fft_length
+        x = jnp.concatenate([audio, chunk])
+        # preemphasis continuous across chunks (preemph_last = the raw
+        # sample just before the carry window)
+        prev = jnp.concatenate([preemph_last[None], x[:-1]])
+        xp = x - fc.preemph * prev
+        # frames fully contained in [carry ++ chunk]
+        n_frames = chunk.shape[0] // hop
+        spec = jax.lax.conv_general_dilated(
+            xp[None, :, None], self._dft.reshape(n_fft, 1, -1),
+            window_strides=(hop,), padding=[(0, 0)],
+            dimension_numbers=("NWC", "WIO", "NWC"))[0]
+        spec = spec[:n_frames]
+        n_bins = n_fft // 2 + 1
+        power = spec[:, :n_bins] ** 2 + spec[:, n_bins:] ** 2
+        mel = jnp.log(power @ self._mel + fc.log_zero_guard_value)
+
+        if self.causal_norm:
+            # Welford-style running stats over all frames so far
+            cnt0 = norm_count
+            n = jnp.asarray(n_frames, jnp.float32)
+            mean_c = jnp.mean(mel, axis=0)
+            m2_c = jnp.sum((mel - mean_c) ** 2, axis=0)
+            delta = mean_c - norm_mean
+            cnt = cnt0 + n
+            mean = norm_mean + delta * n / cnt
+            m2 = norm_m2 + m2_c + delta ** 2 * cnt0 * n / cnt
+            std = jnp.sqrt(m2 / jnp.maximum(cnt - 1, 1.0)) + 1e-5
+            out = (mel - mean) / std
+        else:
+            cnt, mean, m2 = norm_count, norm_mean, norm_m2
+            out = mel
+
+        new_fields = (x[-self.audio_carry:], x[-(self.audio_carry + 1)],
+                      cnt, mean, m2)
+        return new_fields, out                       # (n_frames, n_mels)
+
+
 @dataclasses.dataclass
 class StreamState:
     """All carries. Shapes are static; the object is a pytree."""
@@ -70,21 +156,14 @@ class OnlineTranscriber:
         self.cfg = cfg
         self.variables = folded_variables
         self.causal_norm = causal_norm
-        fc = cfg.featurizer
-        self._dft = jnp.asarray(_windowed_dft_matrix(fc))
-        self._mel = jnp.asarray(mel_filterbank(
-            fc.sample_rate, fc.fft_length, fc.features, fc.lowfreq,
-            fc.highfreq).T)
+        self._sf = StreamingFeaturizer(cfg.featurizer,
+                                       causal_norm=causal_norm)
         for b in cfg.encoder.blocks[1:]:
             if b.stride != 1 or b.dilation != 1 or b.repeat != 1:
                 raise NotImplementedError(
                     "online streaming requires stride/dilation/repeat 1 "
                     "after the prologue")
-        # audio carry length: must satisfy L === n_fft//2 (mod hop) so that
-        # emitted frame centers land on the offline hop grid
-        n_fft, hop = fc.fft_length, fc.hop_length
-        base = n_fft - hop
-        self._audio_carry = base + ((n_fft // 2 - base) % hop)
+        self._audio_carry = self._sf.audio_carry
         self._step = jax.jit(self._step_impl)
 
     @property
@@ -98,14 +177,19 @@ class OnlineTranscriber:
         leading zero-context frames emits ceil((J + (k-1)/2) / s) outputs
         whose centers fall inside that region.
         """
-        hop = self.cfg.featurizer.hop_length
-        n_fft = self.cfg.featurizer.fft_length
         # featurizer junk frames: carry-over beyond the offline center pad
-        j = (self._audio_carry - n_fft // 2) // hop + 1
+        j = self._sf.junk_frames
         for b in self.cfg.encoder.blocks:
             half = (b.effective_kernel - 1) // 2
             j = -(-(j + half) // b.stride)
         return j
+
+    def out_frames(self, samples: int) -> int:
+        """Encoder frames emitted per `samples`-long raw chunk."""
+        from vietasr_tpu.streaming import encoder_stride
+
+        stride = encoder_stride(self.cfg.encoder)
+        return samples // (self.cfg.featurizer.hop_length * stride)
 
     # ------------------------------------------------------------------
 
@@ -117,55 +201,20 @@ class OnlineTranscriber:
             k = b.effective_kernel
             carries.append(jnp.zeros((k - 1, c_in), jnp.float32))
             c_in = b.filters
+        audio, pre, cnt, mean, m2 = self._sf.init_fields()
         return StreamState(
-            audio=jnp.zeros((self._audio_carry,), jnp.float32),
-            preemph_last=jnp.zeros((), jnp.float32),
-            norm_count=jnp.zeros((), jnp.float32),
-            norm_mean=jnp.zeros((fc.features,), jnp.float32),
-            norm_m2=jnp.zeros((fc.features,), jnp.float32),
+            audio=audio, preemph_last=pre,
+            norm_count=cnt, norm_mean=mean, norm_m2=m2,
             blocks=tuple(carries),
         )
 
     def _featurize_chunk(self, state: StreamState, chunk: jnp.ndarray):
         """chunk: (S,) raw samples, S a multiple of hop. Emits S/hop frames."""
-        fc = self.cfg.featurizer
-        hop, n_fft = fc.hop_length, fc.fft_length
-        x = jnp.concatenate([state.audio, chunk])
-        # preemphasis continuous across chunks (preemph_last = the raw
-        # sample just before the carry window)
-        prev = jnp.concatenate([state.preemph_last[None], x[:-1]])
-        xp = x - fc.preemph * prev
-        # frames fully contained in [carry ++ chunk]
-        n_frames = chunk.shape[0] // hop
-        spec = jax.lax.conv_general_dilated(
-            xp[None, :, None], self._dft.reshape(n_fft, 1, -1),
-            window_strides=(hop,), padding=[(0, 0)],
-            dimension_numbers=("NWC", "WIO", "NWC"))[0]
-        spec = spec[:n_frames]
-        n_bins = n_fft // 2 + 1
-        power = spec[:, :n_bins] ** 2 + spec[:, n_bins:] ** 2
-        mel = jnp.log(power @ self._mel + fc.log_zero_guard_value)
-
-        if self.causal_norm:
-            # Welford-style running stats over all frames so far
-            cnt0 = state.norm_count
-            n = jnp.asarray(n_frames, jnp.float32)
-            mean_c = jnp.mean(mel, axis=0)
-            m2_c = jnp.sum((mel - mean_c) ** 2, axis=0)
-            delta = mean_c - state.norm_mean
-            cnt = cnt0 + n
-            mean = state.norm_mean + delta * n / cnt
-            m2 = state.norm_m2 + m2_c + delta ** 2 * cnt0 * n / cnt
-            std = jnp.sqrt(m2 / jnp.maximum(cnt - 1, 1.0)) + 1e-5
-            out = (mel - mean) / std
-        else:
-            cnt, mean, m2 = state.norm_count, state.norm_mean, state.norm_m2
-            out = mel
-
+        fields = (state.audio, state.preemph_last, state.norm_count,
+                  state.norm_mean, state.norm_m2)
+        (audio, pre, cnt, mean, m2), out = self._sf.step(fields, chunk)
         new_state = dataclasses.replace(
-            state,
-            audio=x[-self._audio_carry:],
-            preemph_last=x[-(self._audio_carry + 1)],
+            state, audio=audio, preemph_last=pre,
             norm_count=cnt, norm_mean=mean, norm_m2=m2)
         return new_state, out                        # (n_frames, n_mels)
 
