@@ -38,6 +38,35 @@ def test_rel_pos_encoding_shape():
     np.testing.assert_allclose(mid[1::2], 1.0, atol=1e-7)
 
 
+def test_relpos_matmul_equals_shift_oracle():
+    """The matmul-form relative-position term in _mhsa (angle-difference
+    identity, no relayout) must equal the classic Transformer-XL
+    einsum + rel_shift computation bit-for-bit up to fp32 rounding."""
+    rng = np.random.RandomState(7)
+    t, h, dh = 12, 2, 8
+    d = h * dh
+    qv = rng.randn(1, t, h, dh).astype(np.float32)
+    wp = rng.randn(d, d).astype(np.float32)
+
+    # oracle: project the (2T-1, D) sinusoid table, einsum, shift
+    enc = _rel_pos_encoding(t, d)                        # (2T-1, D)
+    p = (enc @ wp).reshape(-1, h, dh)
+    raw = np.einsum("bthe,lhe->bhtl", qv, p)
+    want = np.asarray(_rel_shift(jnp.asarray(raw)))      # (1, H, T, T)
+
+    # matmul form (as in _mhsa)
+    inv = np.exp(np.arange(0, d, 2, dtype=np.float64) * (-np.log(1e4) / d))
+    ang = np.arange(t)[:, None] * inv[None, :]
+    si, ci = np.sin(ang).astype(np.float32), np.cos(ang).astype(np.float32)
+    ws = np.einsum("bthe,mhe->bthm", qv, wp[0::2].reshape(d // 2, h, dh))
+    wc = np.einsum("bthe,mhe->bthm", qv, wp[1::2].reshape(d // 2, h, dh))
+    sq, cq = si[None, :, None, :], ci[None, :, None, :]
+    got = (np.einsum("bthm,sm->bhts", ws * sq + wc * cq, ci)
+           + np.einsum("bthm,sm->bhts", wc * sq - ws * cq, si))
+
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
 @pytest.fixture(scope="module")
 def tiny_cfg():
     return ConformerConfig(num_blocks=2, d_model=32, num_heads=4,

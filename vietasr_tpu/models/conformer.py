@@ -177,19 +177,35 @@ def _mhsa(x, params, mask, cfg: ConformerConfig, pos_enc, cast):
     q = _linear(x, params["q"], cast).reshape(b, t, h, dh)
     k = _linear(x, params["k"], cast).reshape(b, t, h, dh)
     v = _linear(x, params["v"], cast).reshape(b, t, h, dh)
-    # position keys: (2T-1, D) -> (2T-1, H, dh)
-    p = jnp.einsum("ld,de->le", cast(pos_enc), cast(params["pos"]["w"]),
-                   preferred_element_type=jnp.float32).reshape(-1, h, dh)
 
     qu = q + params["u"][None, None]
     qv = q + params["vb"][None, None]
     content = jnp.einsum("bthe,bshe->bhts", cast(qu), cast(k),
                          preferred_element_type=jnp.float32)
-    position = jnp.einsum("bthe,lhe->bhtl", cast(qv), cast(p),
-                          preferred_element_type=jnp.float32)
-    # the Transformer-XL shift is a pure (B, H, T, 2T-1) relayout — run it
-    # on the stream dtype (half the HBM bytes); no accumulation happens
-    position = _rel_shift(cast(position)).astype(jnp.float32)
+    # Relative-position term WITHOUT the Transformer-XL shift. The shift
+    # is a pure relayout but XLA lowers it to 3 passes over the
+    # (B, H, T, 2T-1) score tensor (~12 ms/step at the train shape —
+    # docs/rooflines.md §5). Identical math as two MXU matmuls via the
+    # angle-difference identity: with w[i] = W_pos^T qv[i] and the
+    # sinusoid e_o (e_o[2m] = sin(o·w_m), e_o[2m+1] = cos(o·w_m)),
+    #   pos[i, j] = w[i]·e_{i-j}
+    #            = Σ_m (ws·si + wc·ci)[i, m]·cos(j·w_m)
+    #                + (wc·si - ws·ci)[i, m]·sin(j·w_m)
+    # where ws/wc pick the sin/cos rows of W_pos and si/ci = sin/cos(i·w_m).
+    si, ci = pos_enc                                   # (T, D/2) tables
+    wp = params["pos"]["w"]
+    ws = jnp.einsum("bthe,mhe->bthm", cast(qv),
+                    cast(wp[0::2].reshape(d // 2, h, dh)),
+                    preferred_element_type=jnp.float32)
+    wc = jnp.einsum("bthe,mhe->bthm", cast(qv),
+                    cast(wp[1::2].reshape(d // 2, h, dh)),
+                    preferred_element_type=jnp.float32)
+    sq, cq = si[None, :, None, :], ci[None, :, None, :]
+    position = (
+        jnp.einsum("bthm,sm->bhts", cast(ws * sq + wc * cq), cast(ci),
+                   preferred_element_type=jnp.float32)
+        + jnp.einsum("bthm,sm->bhts", cast(wc * sq - ws * cq), cast(si),
+                     preferred_element_type=jnp.float32))
 
     scores = (content + position) / jnp.sqrt(jnp.asarray(dh, jnp.float32))
     if mask.ndim == 2:                 # (B, S): key-validity only
@@ -289,7 +305,12 @@ def conformer_apply(
     x = _linear(x, params["proj"], cast)   # bf16 stream from here on
 
     t = x.shape[1]
-    pos_enc = jnp.asarray(_rel_pos_encoding(t, cfg.d_model))
+    # sin/cos(position · w_m) tables for the matmul-form relative
+    # attention in _mhsa (same frequencies as _rel_pos_encoding)
+    inv = np.exp(np.arange(0, cfg.d_model, 2, dtype=np.float64)
+                 * (-np.log(10000.0) / cfg.d_model))
+    ang = jnp.asarray(np.arange(t)[:, None] * inv[None, :], jnp.float32)
+    pos_enc = (jnp.sin(ang), jnp.cos(ang))
     mask = jnp.arange(t)[None, :] < lens[:, None]
     x = x * mask[..., None].astype(x.dtype)
     if chunked:
