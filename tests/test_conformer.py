@@ -115,7 +115,28 @@ def test_yaml_dispatch_and_param_count():
     assert lp.shape[2] == 91
 
 
-def test_conformer_training_decreases_loss(tiny_cfg):
+def test_stack_subsample_forward(tiny_cfg):
+    """Frame-stacking subsampling: same output grid and lens as conv2d,
+    no conv params, ragged T padded to a multiple of 4."""
+    import dataclasses
+
+    cfg = dataclasses.replace(tiny_cfg, subsampling_mode="stack")
+    variables = init_conformer(jax.random.PRNGKey(0), cfg, feat_in=64,
+                               num_classes=10)
+    assert "sub1" not in variables["params"]
+    assert variables["params"]["proj"]["w"].shape == (4 * 64, 32)
+    feats = jnp.asarray(np.random.RandomState(0).randn(2, 62, 64)
+                        .astype(np.float32))
+    lens = jnp.array([62, 33], jnp.int32)
+    lp, out_lens, _ = conformer_apply(variables, feats, lens, cfg=cfg)
+    assert lp.shape == (2, 16, 11)
+    np.testing.assert_array_equal(np.asarray(out_lens), [16, 9])
+    s = np.exp(np.asarray(lp[0, 0])).sum()
+    assert abs(s - 1.0) < 1e-4
+
+
+@pytest.mark.parametrize("sub", ["conv2d", "stack"])
+def test_conformer_training_decreases_loss(tiny_cfg, sub):
     import dataclasses
 
     from vietasr_tpu.config import (DataConfig, EncoderConfig, ModelConfig,
@@ -132,7 +153,8 @@ def test_conformer_training_decreases_loss(tiny_cfg):
         encoder=EncoderConfig(blocks=(), feat_in=16),
         spec_augment=SpecAugmentConfig(), data=DataConfig(),
         architecture="conformer",
-        conformer=dataclasses.replace(tiny_cfg, subsampling_channels=8))
+        conformer=dataclasses.replace(tiny_cfg, subsampling_channels=8,
+                                      subsampling_mode=sub))
     variables = model_init(jax.random.PRNGKey(0), cfg)
     opt = make_optimizer("adamw", 3e-3, weight_decay=1e-4,
                          grad_clip_norm=5.0)

@@ -22,11 +22,13 @@ from vietasr_tpu.models.conformer import conformer_apply
 from vietasr_tpu.streaming_conformer import ConformerStream
 
 
-def make_cfg(chunk_size=4, left_chunks=1, conv_kernel=7):
+def make_cfg(chunk_size=4, left_chunks=1, conv_kernel=7,
+             subsampling_mode="conv2d"):
     conf = ConformerConfig(num_blocks=2, d_model=32, num_heads=4,
                            ff_expansion=2, conv_kernel=conv_kernel,
                            subsampling_channels=16, dropout=0.0,
-                           chunk_size=chunk_size, left_chunks=left_chunks)
+                           chunk_size=chunk_size, left_chunks=left_chunks,
+                           subsampling_mode=subsampling_mode)
     return ModelConfig(
         name="tiny-stream", labels=[" ", "a", "b", "c"],
         featurizer=FeaturizerConfig(features=16, dither=0.0, pad_to=8),
@@ -42,10 +44,12 @@ def offline(variables, cfg, feats):
     return np.asarray(lp[0])
 
 
-@pytest.mark.parametrize("left_chunks,conv_kernel", [(1, 7), (2, 5)])
-def test_stream_matches_offline(left_chunks, conv_kernel):
+@pytest.mark.parametrize("left_chunks,conv_kernel,sub",
+                         [(1, 7, "conv2d"), (2, 5, "conv2d"),
+                          (2, 7, "stack")])
+def test_stream_matches_offline(left_chunks, conv_kernel, sub):
     cfg = make_cfg(chunk_size=4, left_chunks=left_chunks,
-                   conv_kernel=conv_kernel)
+                   conv_kernel=conv_kernel, subsampling_mode=sub)
     variables = model_init(jax.random.PRNGKey(0), cfg)
     rng = np.random.RandomState(0)
     n_chunks = 5

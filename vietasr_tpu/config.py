@@ -91,6 +91,14 @@ class ConformerConfig:
     dropout: float = 0.1
     subsampling_factor: int = 4       # conv2d subsampling, stride 2 per stage
     subsampling_channels: int = 176
+    # "conv2d": two k3 s2 conv stages (the classic Conformer frontend);
+    # "stack": frame stacking — reshape (B, T, F) -> (B, T/4, 4F) into the
+    # d_model projection. Exact-capacity TPU alternative: the conv2d
+    # stage-2 (3x3 x C^2 dense conv) runs at ~25% MXU efficiency and
+    # dominates the subsample cost, while stacking is one tile-aligned
+    # matmul with ~460x fewer FLOPs; it is also trivially causal, so
+    # streaming needs no subsample carry.
+    subsampling_mode: str = "conv2d"
     # streaming (chunked-causal) mode, WeNet/U2-style: 0 = full-context
     # offline attention; > 0 = queries see their own chunk plus
     # `left_chunks` previous chunks (frames AFTER subsampling), depthwise

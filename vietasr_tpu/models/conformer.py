@@ -116,7 +116,21 @@ def init_conformer(rng: jax.Array, cfg: ConformerConfig, feat_in: int,
                    num_classes: int) -> dict:
     keys = iter(jax.random.split(rng, cfg.num_blocks + 8))
     c = cfg.subsampling_channels
-    params: dict = {
+    if cfg.subsampling_mode == "stack":
+        # frame stacking: no conv stages, proj maps 4 spliced frames
+        params: dict = {
+            "proj": _linear_init(next(keys), 4 * feat_in, cfg.d_model),
+            "blocks": [],
+            "decoder": _linear_init(next(keys), cfg.d_model,
+                                    num_classes + 1),
+        }
+        stats = {"blocks": []}
+        for _ in range(cfg.num_blocks):
+            p, s = _init_block(next(keys), cfg)
+            params["blocks"].append(p)
+            stats["blocks"].append(s)
+        return {"params": params, "batch_stats": stats}
+    params = {
         # conv2d subsampling weights in HWIO
         "sub1": {"w": xavier_uniform(next(keys), (3, 3, 1, c), 9, 9 * c),
                  "b": jnp.zeros((c,), jnp.float32)},
@@ -252,6 +266,18 @@ def _ffn(x, params, rate, rng, training, cast):
 # forward
 
 
+def _stack_subsample(x, lens):
+    """Frame-stacking 4x subsampling: (B, T, F) -> (B, ceil(T/4), 4F).
+    Inherently causal (each output frame is exactly its own 4 inputs),
+    so the same code serves offline, chunked-causal, and streaming."""
+    b, t, f = x.shape
+    pad = (-t) % 4
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+    x = x.reshape(b, (t + pad) // 4, 4 * f)
+    return x, (lens + 3) // 4
+
+
 def _subsample(x, lens, params, cast, causal=False):
     """Conv2d 4x subsampling: (B, T, F) -> (B, T/4, C*F/4).
 
@@ -301,7 +327,10 @@ def conformer_apply(
         rng = jax.random.PRNGKey(0)
 
     chunked = cfg.chunk_size > 0
-    x, lens = _subsample(feats, feat_lens, params, cast, causal=chunked)
+    if cfg.subsampling_mode == "stack":
+        x, lens = _stack_subsample(feats, feat_lens)
+    else:
+        x, lens = _subsample(feats, feat_lens, params, cast, causal=chunked)
     x = _linear(x, params["proj"], cast)   # bf16 stream from here on
 
     t = x.shape[1]

@@ -114,14 +114,21 @@ class ConformerStream:
     def init_state(self) -> ConformerStreamState:
         p = self.variables["params"]
         f = self.feat_in
-        c_sub = p["sub1"]["w"].shape[-1]
-        f2 = (f + 2 - 3) // 2 + 1
         d = self.ccfg.d_model
         k = self.ccfg.conv_kernel
         n = self.ccfg.num_blocks
+        if self.ccfg.subsampling_mode == "stack":
+            # frame stacking has no cross-chunk context: empty carries
+            sub1 = jnp.zeros((0, f, 1), jnp.float32)
+            sub2 = jnp.zeros((0, 1, 1), jnp.float32)
+        else:
+            c_sub = p["sub1"]["w"].shape[-1]
+            f2 = (f + 2 - 3) // 2 + 1
+            sub1 = jnp.zeros((2, f, 1), jnp.float32)
+            sub2 = jnp.zeros((2, f2, c_sub), jnp.float32)
         return ConformerStreamState(
-            sub1=jnp.zeros((2, f, 1), jnp.float32),
-            sub2=jnp.zeros((2, f2, c_sub), jnp.float32),
+            sub1=sub1,
+            sub2=sub2,
             kv=tuple(jnp.zeros((self.l_ctx, d), jnp.float32)
                      for _ in range(n)),
             kv_len=jnp.zeros((), jnp.int32),
@@ -196,9 +203,14 @@ class ConformerStream:
         log-probs."""
         p = self.variables["params"]
         stats = self.variables["batch_stats"]
-        s1, y = self._sub_stage(state.sub1, feats[..., None], p["sub1"])
-        s2, y = self._sub_stage(state.sub2, y, p["sub2"])
-        x = _lin(y.reshape(y.shape[0], -1), p["proj"])     # (C, D)
+        if self.ccfg.subsampling_mode == "stack":
+            s1, s2 = state.sub1, state.sub2
+            y = feats.reshape(self.c_out, -1)              # (C, 4F)
+        else:
+            s1, y = self._sub_stage(state.sub1, feats[..., None], p["sub1"])
+            s2, y = self._sub_stage(state.sub2, y, p["sub2"])
+            y = y.reshape(y.shape[0], -1)
+        x = _lin(y, p["proj"])                             # (C, D)
 
         new_kv: List[jnp.ndarray] = []
         new_conv: List[jnp.ndarray] = []
