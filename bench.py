@@ -387,8 +387,8 @@ def measure_streaming_sessions(slots=64):
     rng = np.random.RandomState(0)
     for s in range(slots):
         assert pool.open() == slots - 1 - s or True
-    chunks = {s: (rng.randn(pool.chunk_samples) * 0.1).astype(np.float32)
-              for s in range(slots)}
+    chunks = {s: (rng.randn(pool.chunk_samples) * 3000).astype(np.int16)
+              for s in range(slots)}       # PCM16 wire format
     pool.feed(chunks)                      # compile + warm
     best = np.inf
     for _ in range(3):

@@ -70,6 +70,33 @@ def test_pool_matches_single_stream(pool_setup):
     assert pool.decoders[sc].ids == ref_dec_a.ids
 
 
+def test_pool_int16_wire_format_matches_float(pool_setup):
+    """Raw PCM16 chunks (the websocket wire format) ship to the device
+    unscaled and must decode identically to pre-scaled float chunks."""
+    cfg, ot = pool_setup
+    pool = StreamPool(ot, slots=2, chunk_samples=3200)
+    rng = np.random.RandomState(7)
+    pcm = (rng.randn(16000) * 3000).astype(np.int16)
+    chunks_i = [pcm[i:i + 3200] for i in range(0, 16000, 3200)]
+    chunks_f = [c.astype(np.float32) / 32768.0 for c in chunks_i]
+
+    si = pool.open()
+    for c in chunks_i:
+        pool.feed({si: c})
+    ids_i = list(pool.decoders[si].ids)
+    pool.close(si)
+
+    sf = pool.open()
+    for c in chunks_f:
+        pool.feed({sf: c})
+    assert pool.decoders[sf].ids == ids_i
+    # mixed dtypes in one tick promote int16 on host, same result
+    pool.close(sf)
+    sa, sb = pool.open(), pool.open()
+    out = pool.feed({sa: chunks_i[0], sb: chunks_f[0]})
+    assert set(out) == {sa, sb}
+
+
 def test_pool_capacity_and_bad_chunk(pool_setup):
     _, ot = pool_setup
     pool = StreamPool(ot, slots=2, chunk_samples=3200)

@@ -187,8 +187,8 @@ class AsrServer:
                 buf += message
                 while len(buf) >= chunk_bytes:
                     raw, buf = buf[:chunk_bytes], buf[chunk_bytes:]
-                    samples = np.frombuffer(raw, "<i2").astype(np.float32) \
-                        / 32768.0
+                    # int16 passes through to the pool (scaled on device)
+                    samples = np.frombuffer(raw, "<i2")
                     out = await loop.run_in_executor(
                         None, self.stream_pool.feed, {slot: samples})
                     if out.get(slot):
@@ -199,8 +199,7 @@ class AsrServer:
             # see, or its reconstructed line diverges from the final
             if buf:
                 pad = buf + b"\x00" * (chunk_bytes - len(buf))
-                samples = np.frombuffer(pad, "<i2").astype(np.float32) \
-                    / 32768.0
+                samples = np.frombuffer(pad, "<i2")
                 out = await loop.run_in_executor(
                     None, self.stream_pool.feed, {slot: samples})
                 if out.get(slot):

@@ -107,7 +107,24 @@ class StreamPool:
             self._lm = NGramLM(lm_path)
         self._beam_kw = dict(beam_width=beam_width, lm=self._lm,
                              alpha=lm_alpha, beta=lm_beta)
-        self._vstep = jax.jit(jax.vmap(transcriber._step_impl))
+        # ONE jitted program per tick: vmapped step + masked state commit
+        # (un-fed slots keep their state). Committing inside jit matters:
+        # an eager tree_map of jnp.where over the ~dozens of state leaves
+        # costs one dispatch each on a remote-attached chip.
+        def pool_step(states, batch, fed):
+            if batch.dtype == jnp.int16:
+                # int16 wire format: 4x fewer host->device bytes than f32
+                # (the link, not compute, bounds multi-stream serving)
+                batch = batch.astype(jnp.float32) / 32768.0
+            new_states, lp = jax.vmap(transcriber._step_impl)(states, batch)
+
+            def commit(new, old):
+                mask = fed.reshape((fed.shape[0],) + (1,) * (new.ndim - 1))
+                return jnp.where(mask, new, old)
+
+            return jax.tree_util.tree_map(commit, new_states, states), lp
+
+        self._pool_step = jax.jit(pool_step)
         single = transcriber.init_state()
         self.states = jax.tree_util.tree_map(
             lambda x: jnp.broadcast_to(x, (slots,) + x.shape), single)
@@ -163,33 +180,35 @@ class StreamPool:
 
     def feed(self, inputs: Dict[int, np.ndarray]) -> Dict[int, str]:
         """Advance the FED slots one chunk; `inputs` maps slot -> audio
-        chunk (exactly chunk_samples long). Un-fed slots run through the
-        vmapped step on silence (shapes stay static) but their state rows
-        are NOT committed, so concurrent sessions never push phantom audio
-        through each other's encoder state. Thread-safe: the read-modify-
-        write of the pooled state is serialized under the pool lock.
-        Returns newly emitted text per fed slot."""
+        chunk (exactly chunk_samples long), either float waveform in
+        [-1, 1] or raw int16 PCM (shipped to the device as-is and scaled
+        on chip — 4x fewer host->device bytes). Un-fed slots run through
+        the vmapped step on silence (shapes stay static) but their state
+        rows are NOT committed, so concurrent sessions never push phantom
+        audio through each other's encoder state. Thread-safe: the
+        read-modify-write of the pooled state is serialized under the
+        pool lock. Returns newly emitted text per fed slot."""
         from vietasr_tpu.utils.typing import assert_waveform
 
-        batch = np.zeros((self.slots, self.chunk_samples), np.float32)
+        arrs = {s: np.asarray(c) for s, c in inputs.items()}
+        i16 = bool(arrs) and all(a.dtype == np.int16 for a in arrs.values())
+        batch = np.zeros((self.slots, self.chunk_samples),
+                         np.int16 if i16 else np.float32)
         fed = np.zeros((self.slots,), bool)
-        for slot, chunk in inputs.items():
-            assert_waveform(np.asarray(chunk), port="stream.chunk")
+        for slot, chunk in arrs.items():
+            if chunk.dtype == np.int16 and not i16:
+                chunk = chunk.astype(np.float32) / 32768.0
+            if chunk.dtype != np.int16:
+                assert_waveform(chunk, port="stream.chunk")
             if len(chunk) != self.chunk_samples:
                 raise ValueError(
                     f"chunk must be exactly {self.chunk_samples} samples")
             batch[slot] = chunk
             fed[slot] = True
-        fed_dev = jnp.asarray(fed)
-
-        def commit(new, old):
-            mask = fed_dev.reshape((self.slots,) + (1,) * (new.ndim - 1))
-            return jnp.where(mask, new, old)
 
         with self._lock:
-            new_states, lp = self._vstep(self.states, jnp.asarray(batch))
-            self.states = jax.tree_util.tree_map(
-                commit, new_states, self.states)
+            self.states, lp = self._pool_step(
+                self.states, jnp.asarray(batch), jnp.asarray(fed))
             lp = np.asarray(lp)
             out: Dict[int, str] = {}
             for slot in inputs:
