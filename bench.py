@@ -331,7 +331,8 @@ def measure_conformer_train(batch=32, seconds=15):
     optimizer = optax.adamw(1e-3)
     state = TrainState.create(variables, optimizer)
     train_step = jax.jit(make_train_step(cfg, optimizer,
-                                         compute_dtype=jnp.bfloat16))
+                                         compute_dtype=jnp.bfloat16,
+                                         ctc_impl="pallas"))
 
     rng = np.random.RandomState(0)
     batch_d = {

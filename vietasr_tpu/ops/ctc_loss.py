@@ -34,6 +34,7 @@ def ctc_loss(
     *,
     blank: int,
     reduction: str = "mean_batch",
+    impl: str = "scan",
 ) -> jnp.ndarray:
     """Negative log-likelihood of the CTC alignment marginal.
 
@@ -45,6 +46,10 @@ def ctc_loss(
       blank: blank id (== num_classes in this framework).
       reduction: "none" | "mean_batch" (reference batch mean, losses.py:57)
         | "mean" (normalized by target length then averaged).
+      impl: "scan" (lax.scan; partitions under pjit — the multi-chip
+        default) | "pallas" (fused single-kernel recursion each way,
+        ~3.5x on one chip — ops/pallas_ctc.py) | "pallas_interpret"
+        (pallas semantics on CPU, for tests).
 
     Returns: scalar loss (or (B,) if reduction == "none").
     """
@@ -75,6 +80,22 @@ def ctc_loss(
     ext_oh = jax.nn.one_hot(ext, v, dtype=log_probs.dtype)        # (B, S, V)
     lp_ext = jnp.einsum("btv,bsv->bts", log_probs, ext_oh,
                         precision=jax.lax.Precision.HIGHEST)      # (B, T, S)
+
+    if impl in ("pallas", "pallas_interpret"):
+        from vietasr_tpu.ops.pallas_ctc import ctc_neg_ll_pallas
+
+        loss = ctc_neg_ll_pallas(
+            lp_ext, can_skip, valid_s, input_lengths, target_lengths,
+            interpret=(impl == "pallas_interpret"))
+        if reduction == "none":
+            return loss
+        if reduction == "mean_batch":
+            return jnp.mean(loss)
+        if reduction == "mean":
+            return jnp.mean(loss / jnp.maximum(target_lengths, 1))
+        raise ValueError(f"unknown reduction {reduction!r}")
+    if impl != "scan":
+        raise ValueError(f"unknown impl {impl!r}")
 
     # initial alpha: positions 0 (blank) and 1 (first label, if any)
     alpha0 = jnp.where((pos <= 1) & valid_s, lp_ext[:, 0], NEG_INF)

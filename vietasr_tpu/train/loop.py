@@ -58,10 +58,14 @@ def batch_to_arrays(batch) -> Dict[str, jnp.ndarray]:
 
 
 def make_loss_fn(cfg: ModelConfig, *, use_specaug: bool = True,
-                 compute_dtype=None):
+                 compute_dtype=None, ctc_impl: str = "scan"):
     """compute_dtype=bfloat16 runs the encoder matmuls/convs in bf16 with
     fp32 params and accumulation — the TPU replacement for the reference's
-    Apex AMP O1/O2 (actions.py:352-378); no loss scaling is needed."""
+    Apex AMP O1/O2 (actions.py:352-378); no loss scaling is needed.
+
+    ctc_impl="pallas" swaps the lax.scan CTC recursion for the fused
+    single-kernel alpha/beta pair (ops/pallas_ctc.py) — faster on one
+    chip; keep "scan" for pjit-sharded multi-chip steps."""
     featurize = make_featurizer(cfg.featurizer)
     blank = cfg.num_classes
 
@@ -81,7 +85,7 @@ def make_loss_fn(cfg: ModelConfig, *, use_specaug: bool = True,
             rng=r_drop, compute_dtype=compute_dtype)
         per_sample = ctc_loss(log_probs, batch["tokens"], enc_lens,
                               batch["token_lens"], blank=blank,
-                              reduction="none")
+                              reduction="none", impl=ctc_impl)
         # padded rows (signal_lens == 0) carry no loss
         valid = batch["signal_lens"] > 0
         per_sample = jnp.where(valid, per_sample, 0.0)
@@ -99,10 +103,11 @@ def make_train_step(
     use_specaug: bool = True,
     lr_schedule=None,
     compute_dtype=None,
+    ctc_impl: str = "scan",
 ):
     """Returns train_step(state, batch_dict, rng) -> (state, metrics)."""
     loss_fn = make_loss_fn(cfg, use_specaug=use_specaug,
-                           compute_dtype=compute_dtype)
+                           compute_dtype=compute_dtype, ctc_impl=ctc_impl)
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
     def one_microbatch(carry, micro):
