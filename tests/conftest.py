@@ -21,3 +21,14 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Free compiled executables between modules: the full suite compiles
+    thousands of programs (exhaustive oracles compile one per shape) and
+    unbounded CPU-JIT code memory eventually segfaults LLVM."""
+    yield
+    jax.clear_caches()

@@ -150,3 +150,34 @@ def test_speed_perturbation_changes_length():
     seg = AudioSegment(samples=sig, sample_rate=16000)
     sp.perturb(seg)
     assert abs(len(seg.samples) - 16000 / 1.2) < 100
+
+
+def test_pitch_shift_moves_dominant_frequency():
+    """+12 semitones doubles the dominant frequency of a pure tone while
+    preserving duration (phase-vocoder stretch + resample — the reference
+    README TODO 'pitch shift')."""
+    from vietasr_tpu.audio.augment import PitchPerturbation, pitch_shift
+
+    sr = 16000
+    t = np.arange(sr, dtype=np.float32) / sr
+    tone = np.sin(2 * np.pi * 440.0 * t).astype(np.float32)
+
+    up = pitch_shift(tone, 12.0, sample_rate=sr)
+    assert len(up) == len(tone)
+
+    def dom_freq(x):
+        spec = np.abs(np.fft.rfft(x[2000:-2000] * np.hanning(len(x) - 4000)))
+        return np.argmax(spec) * sr / (len(x) - 4000)
+
+    assert abs(dom_freq(tone) - 440.0) < 5
+    assert abs(dom_freq(up) - 880.0) < 15
+
+    # identity at 0 steps; registry pathway works
+    same = pitch_shift(tone, 0.0, sample_rate=sr)
+    np.testing.assert_allclose(same, tone, atol=1e-6)
+    from vietasr_tpu.audio.augment import AudioAugmentor
+    aug = AudioAugmentor.from_config(
+        [{"aug_type": "pitch", "prob": 1.0,
+          "cfg": {"min_steps": -1.0, "max_steps": 1.0}}])
+    out = aug(tone, sr)
+    assert out.shape == tone.shape and np.isfinite(out).all()

@@ -69,6 +69,8 @@ def build_manifest(work_dir: str) -> str:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--work-dir", default="work/real_speech")
+    ap.add_argument("--config", default=CONFIG,
+                    help="model YAML (e.g. configs/conformer_ctc_vi_streaming.yaml to prove the chunked-causal streaming model learns real speech)")
     ap.add_argument("--epochs", type=int, default=400)
     ap.add_argument("--batch-size", type=int, default=13)
     ap.add_argument("--lr", type=float, default=0.02)
@@ -79,7 +81,7 @@ def main():
     from vietasr_tpu.cli import main as cli_main
 
     rc = cli_main([
-        "train", "--config", CONFIG,
+        "train", "--config", args.config,
         "--train-manifest", manifest,
         "--eval-manifest", manifest,
         "--work-dir", args.work_dir,
@@ -97,7 +99,7 @@ def main():
         sys.exit(rc)
 
     rc = cli_main([
-        "eval", "--config", CONFIG,
+        "eval", "--config", args.config,
         "--manifest", manifest,
         "--checkpoint-dir", args.work_dir,
         "--batch-size", str(args.batch_size),

@@ -53,6 +53,89 @@ class SpeedPerturbation(Perturbation):
         segment.samples = resample(segment.samples, int(base * rate), base)
 
 
+def _phase_vocoder_stretch(x: np.ndarray, stretch: float,
+                           n_fft: int = 512, hop: int = 128) -> np.ndarray:
+    """Time-stretch `x` by `stretch` (>1 = longer) at constant pitch.
+
+    Classic phase-vocoder: STFT at analysis hop, re-synthesize frames at
+    the same hop while stepping the analysis position by hop/stretch and
+    accumulating phase with the instantaneous-frequency correction
+    (what librosa.effects.time_stretch does; self-contained here since
+    librosa is not in the image)."""
+    if stretch <= 0:
+        raise ValueError("stretch must be positive")
+    win = np.hanning(n_fft).astype(np.float32)
+    pad = np.concatenate([np.zeros(n_fft // 2, np.float32),
+                          x.astype(np.float32),
+                          np.zeros(n_fft, np.float32)])
+    n_frames = 1 + (len(pad) - n_fft) // hop
+    frames = np.lib.stride_tricks.as_strided(
+        pad, (n_frames, n_fft), (pad.strides[0] * hop, pad.strides[0]))
+    spec = np.fft.rfft(frames * win, axis=1)             # (F, n_fft/2+1)
+
+    # analysis positions on the synthesis frame grid
+    t_out = np.arange(0, n_frames - 1, 1.0 / stretch)
+    omega = 2 * np.pi * hop * np.arange(spec.shape[1]) / n_fft
+    phase = np.angle(spec[0])
+    out = np.empty((len(t_out), spec.shape[1]), np.complex64)
+    for i, pos in enumerate(t_out):
+        j = int(pos)
+        frac = pos - j
+        mag = (1 - frac) * np.abs(spec[j]) + frac * np.abs(spec[j + 1])
+        out[i] = mag * np.exp(1j * phase)
+        dphi = np.angle(spec[j + 1]) - np.angle(spec[j]) - omega
+        dphi -= 2 * np.pi * np.round(dphi / (2 * np.pi))
+        phase += omega + dphi
+
+    # overlap-add inverse with squared-window normalization
+    y_len = n_fft + hop * (len(t_out) - 1)
+    y = np.zeros(y_len, np.float32)
+    norm = np.zeros(y_len, np.float32)
+    frames_t = np.fft.irfft(out, n=n_fft, axis=1).astype(np.float32) * win
+    for i in range(len(t_out)):
+        y[i * hop:i * hop + n_fft] += frames_t[i]
+        norm[i * hop:i * hop + n_fft] += win ** 2
+    y = y / np.maximum(norm, 1e-8)
+    start = n_fft // 2
+    want = int(round(len(x) * stretch))
+    return y[start:start + want]
+
+
+class PitchPerturbation(Perturbation):
+    """Pitch shift WITHOUT tempo change (a reference TODO,
+    /root/reference/README.md:68-71 'pitch shift'): phase-vocoder
+    time-stretch by the pitch factor, then resample back to the original
+    length — duration preserved, pitch scaled by 2^(steps/12)."""
+
+    def __init__(self, min_steps=-2.0, max_steps=2.0, sample_rate=16000,
+                 rng=None):
+        self._min = min_steps
+        self._max = max_steps
+        self._sr = sample_rate
+        self._rng = random.Random() if rng is None else rng
+
+    def perturb(self, segment):
+        steps = self._rng.uniform(self._min, self._max)
+        segment.samples = pitch_shift(segment.samples, steps,
+                                      sample_rate=self._sr)
+
+
+def pitch_shift(x: np.ndarray, n_steps: float,
+                sample_rate: int = 16000) -> np.ndarray:
+    """Shift pitch by n_steps semitones at constant duration."""
+    factor = 2.0 ** (n_steps / 12.0)
+    if abs(factor - 1.0) < 1e-6:
+        return np.asarray(x, np.float32)
+    stretched = _phase_vocoder_stretch(np.asarray(x, np.float32), factor)
+    # compress/expand time back to the original length: pitch *= factor
+    # (the stretched signal plays at factor*sr in the original duration)
+    y = resample(stretched, max(int(round(sample_rate * factor)), 1),
+                 sample_rate)
+    if len(y) < len(x):
+        y = np.pad(y, (0, len(x) - len(y)))
+    return y[: len(x)].astype(np.float32)
+
+
 class GainPerturbation(Perturbation):
     def __init__(self, min_gain_dbfs=-10, max_gain_dbfs=10, rng=None):
         self._min = min_gain_dbfs
@@ -146,6 +229,7 @@ class ImpulsePerturbation(Perturbation):
 
 perturbation_types = {
     "speed": SpeedPerturbation,
+    "pitch": PitchPerturbation,
     "gain": GainPerturbation,
     "impulse": ImpulsePerturbation,
     "shift": ShiftPerturbation,

@@ -48,8 +48,8 @@ def ctc_loss(
         | "mean" (normalized by target length then averaged).
       impl: "scan" (lax.scan; partitions under pjit — the multi-chip
         default) | "pallas" (fused single-kernel recursion each way,
-        ~3.5x on one chip — ops/pallas_ctc.py) | "pallas_interpret"
-        (pallas semantics on CPU, for tests).
+        1.3x the unrolled scan at the train shape — ops/pallas_ctc.py)
+        | "pallas_interpret" (pallas semantics on CPU, for tests).
 
     Returns: scalar loss (or (B,) if reduction == "none").
     """
@@ -120,8 +120,14 @@ def ctc_loss(
     # unroll: each alpha step is ~10 tiny (B, S) ops, so the loop is
     # issue-bound, not FLOP-bound; unrolling 8 steps per iteration lets
     # XLA fuse across frames (measured 14.2 -> 5.1 ms fwd+bwd at the
-    # Conformer train shape, values bit-identical)
-    alpha, _ = jax.lax.scan(step, alpha0, jnp.arange(1, t_max), unroll=8)
+    # Conformer train shape, values bit-identical). Only at real encoder
+    # lengths: at tiny t_max XLA fully unrolls the loop body instead,
+    # and thousands of such bloated CPU-JIT executables (the exhaustive
+    # beam-search oracles call this eagerly per candidate sequence)
+    # exhaust LLVM code memory and segfault the process.
+    unroll = 8 if t_max >= 32 else 1
+    alpha, _ = jax.lax.scan(step, alpha0, jnp.arange(1, t_max),
+                            unroll=unroll)
 
     # log-likelihood: alpha at final blank (2L) and final label (2L-1)
     end_blank = jnp.take_along_axis(alpha, (2 * target_lengths)[:, None],

@@ -209,13 +209,21 @@ class Trainer:
     # log a sample hyp/ref + batch WER every log_every steps (reference
     # monitor_asr_train_progress, helpers.py:36-78)
     monitor_progress: bool = False
+    # "scan" | "pallas" | "auto" (pallas on a single TPU device, where the
+    # fused kernel is ~1.3x and nothing needs to partition; scan otherwise)
+    ctc_impl: str = "auto"
 
     def __post_init__(self):
         dtype = jnp.dtype(self.compute_dtype) if self.compute_dtype else None
+        impl = self.ctc_impl
+        if impl == "auto":
+            impl = "pallas" if (jax.device_count() == 1 and
+                                jax.devices()[0].platform != "cpu") \
+                else "scan"
         self._train_step = jax.jit(make_train_step(
             self.cfg, self.optimizer, grad_accum=self.grad_accum,
             use_specaug=self.use_specaug, lr_schedule=self.lr_schedule,
-            compute_dtype=dtype))
+            compute_dtype=dtype, ctc_impl=impl))
         self._eval_step = jax.jit(make_eval_step(self.cfg))
         self.callbacks = []
         self.history = []
