@@ -144,6 +144,42 @@ def test_dense_lm_packing(word_lm):
     assert (k1[lv < 0] == 0).all()
 
 
+@pytest.mark.parametrize("chunk", [4, 8])
+def test_pallas_chunked_lm_match_identical(chunk, word_lm):
+    """Processing the dense LM table in row blocks (the large-table mode)
+    must be bit-identical to the single-pass match."""
+    tables, probes = word_lm_tables(word_lm, LABELS)
+    unk = float(np.asarray(tables.unk_logp))
+    dense = dense_lm_from_tables(tables, unk)
+    assert dense.key1.shape[0] > chunk  # chunking actually engages
+    rng = np.random.RandomState(123)
+    t = 14
+    lp = np.stack([softmax_logs(rng, t, 5, scale=1.8) for _ in range(2)])
+    lens = np.array([t, 9])
+    kw = dict(beam_width=8, cutoff_top_n=4, space=SPACE, blank=len(LABELS),
+              dense_lm=dense, unk_logp=unk, alpha=0.5, beta=1.5,
+              interpret=True)
+    ids0, len0 = pallas_beam_search(
+        jnp.asarray(lp), jnp.asarray(lens), lm_chunk=0, **kw)
+    ids1, len1 = pallas_beam_search(
+        jnp.asarray(lp), jnp.asarray(lens), lm_chunk=chunk, **kw)
+    assert_same_decode(np.asarray(ids0), np.asarray(len0),
+                       np.asarray(ids1), np.asarray(len1))
+
+
+def test_pick_lm_chunk():
+    from vietasr_tpu.ops.pallas_beam import _pick_lm_chunk
+    # small tables: single pass (budget counts PADDED lanes/sublanes)
+    assert _pick_lm_chunk(0, 16, 8) == 0
+    assert _pick_lm_chunk(128, 16, 16) == 0
+    # big tables: chunk is 8-row aligned and bounds the padded block
+    for n, w, b in [(4096, 16, 8), (32768, 16, 128), (20000, 32, 16)]:
+        c = _pick_lm_chunk(n, w, b)
+        wp, bp = (w + 7) // 8 * 8, (b + 127) // 128 * 128
+        assert c > 0 and c % 8 == 0
+        assert c * wp * bp <= 1 << 18
+
+
 def test_pallas_requires_space():
     lp = np.zeros((1, 4, 5), np.float32)
     with pytest.raises(ValueError, match="space"):

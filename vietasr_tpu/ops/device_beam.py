@@ -50,6 +50,15 @@ import jax
 import jax.numpy as jnp
 
 NEG = -1e30
+
+# largest word-LM table (dense rows) auto-routed to the fused Pallas
+# kernel: its dense match is O(N) VPU work per step (~27 ns/row/step
+# measured) while this module's XLA probing-gather path is
+# N-independent (~131 us/step). Measured crossover: ~1k rows at T=200
+# frames, ~3.5k at T=500 (tools/bench_beam_lm_size.py; the kernel's
+# fixed cost amortizes with T). 2048 splits the difference; pass
+# impl="pallas"/"xla" to override per deployment.
+PALLAS_WLM_MAX_ROWS = 2048
 _HASH_P1 = jnp.uint32(1000003)
 _HASH_P2 = jnp.uint32(69069)
 
@@ -609,7 +618,7 @@ def device_beam_transcripts(log_probs, lengths, labels, *, impl="auto",
                 and kwargs.get("space", -1) >= 0
                 and kwargs.get("cutoff_top_n", 0) > 0
                 and (word_lm is None
-                     or int(word_lm.packed.shape[0]) <= 4096))
+                     or int(word_lm.packed.shape[0]) <= PALLAS_WLM_MAX_ROWS))
     use_pallas = impl == "pallas" or (
         impl == "auto" and eligible and jax.default_backend() != "cpu")
     if use_pallas:

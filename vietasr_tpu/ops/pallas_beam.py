@@ -15,9 +15,20 @@ vregs instead of wasting 7/8 of each lane row as the (B, W) layout would.
 Word-LM shallow fusion uses the dense-match strategy (ops/device_beam.py
 `_word_lm_score(dense=True)` semantics, bit-identical backoff math): the
 n-gram table is DENSE-PACKED (only occupied rows) into VMEM-resident
-columns and every (chain, beam) query is an equality compare over all rows
-+ a masked max. This caps supported tables at ~4k rows (domain LMs); the
-XLA path remains the fallback for larger LMs and for char-LM fusion.
+columns and every (chain, beam) query is an equality compare over all
+rows + a masked max, processed in 128-row blocks — unrolled for small
+tables, a fori_loop over ref slices beyond `_UNROLL_BLOCKS` (see
+`_word_lm_score_refs` for why both bounds exist). The match is O(N) VPU
+work per step (~27 ns/row/step measured at the serving shape, and the
+(C, W, B) compare temporaries are lane-padded B->128, so the constant is
+8x worse than logical element count suggests); the N-independent XLA
+probing path overtakes it past PALLAS_WLM_MAX_ROWS
+(ops/device_beam.py), which auto-routing respects — measured curve in
+docs/rooflines.md, reproduce with tools/bench_beam_lm_size.py. A
+hash-probe gather kernel would be N-independent, but Mosaic's
+dynamic_gather only compiles for single-vreg (8, 128) lane-axis gathers
+on this toolchain (tools/probe_gather.py), so the probing layout used by
+the XLA path cannot be expressed in-kernel yet.
 
 Semantics match `device_beam_search` with canonical (space-normalized)
 beam identity: same hashes, same merge rule, same Katz backoff carry,
@@ -98,6 +109,30 @@ def dense_lm_from_tables(tables: WordLMTables,
     )
 
 
+def _pick_lm_chunk(n: int, w: int, bsz: int,
+                   budget_elems: int = 1 << 18) -> int:
+    """Static LM-match row-block size. 0 = single pass.
+
+    Budgets in PADDED vreg units, not logical elements: a (C, W, B)
+    temporary is tiled over its last two dims, so W rounds up to 8
+    sublanes and B to 128 lanes — at the serving shape (W=16, B=16) each
+    logical element costs 8x its size in VMEM *and* VPU work. Budgeting
+    logically is what let single-pass tables >~380 rows blow VMEM and
+    crash Mosaic (found by tools/bench_beam_lm_size.py bisect)."""
+    wp = (w + 7) // 8 * 8
+    bp = (bsz + 127) // 128 * 128
+    if n == 0 or n * wp * bp <= budget_elems:
+        return 0
+    return max(8, budget_elems // (wp * bp) // 8 * 8)
+
+
+# max statically-unrolled LM match blocks: >= ~7 blocks of 128 rows
+# deterministically crashes the Mosaic compiler (working-set cliff, see
+# _word_lm_score_refs); 4 keeps a 1.75x safety margin while sparing
+# small tables the fori_loop overhead
+_UNROLL_BLOCKS = 4
+
+
 def _lse2(a, b):
     m = jnp.maximum(a, b)
     safe = jnp.where(m <= NEG / 2, 0.0, m)
@@ -118,32 +153,57 @@ def _i32sum_onehot(mask, vals_u32, axis):
     return jax.lax.bitcast_convert_type(s, jnp.uint32)
 
 
-def _word_lm_score_k(lm: DenseLM, unk_logp, c2h1, c2h2, c1h1, c1h2,
-                     wh1, wh2, c1_bo, ctx_bo):
-    """Dense-match Katz backoff, (W, B) queries — mirrors
-    device_beam._word_lm_score(dense=True) bit for bit."""
+def _word_lm_queries(c2h1, c2h2, c1h1, c1h2, wh1, wh2):
+    """Hash-fold the unigram/bigram/trigram lookup keys, (W, B) each."""
     one = jnp.uint32(KEY_SEED)
     uk1, uk2 = _fold(one, one, wh1, wh2)
     c1k1, c1k2 = _fold(one, one, c1h1, c1h2)
     bk1, bk2 = _fold(c1k1, c1k2, wh1, wh2)
     ctxk1, ctxk2 = _fold(*_fold(one, one, c2h1, c2h2), c1h1, c1h2)
     tk1, tk2 = _fold(ctxk1, ctxk2, wh1, wh2)
+    return ((uk1, uk2), (bk1, bk2), (tk1, tk2))
 
-    vals, any_hits, bos = [], [], []
-    for lvl, (q1, q2) in enumerate(((uk1, uk2), (bk1, bk2), (tk1, tk2))):
-        # (N, W, B) compare against every dense row of this level
-        hit = (lm.key1[:, None, :] == q1[None]) \
-            & (lm.key2[:, None, :] == q2[None]) \
-            & (lm.level[:, None, :] == lvl) \
+
+def _lm_match_block(k1, k2, lg, bo_c, lv, queries, state):
+    """Fold one (C, 1) table block into the running match state.
+
+    state = (any_hits[3] i32, vals[3] f32, bos[3] f32), each (W, B).
+    any_hits is i32 0/1, NOT bool: bool fori_loop carries crash the
+    Mosaic compiler on this toolchain (isolated by a minimal probe —
+    i32 carries and unrolled bool both compile; bool carries don't).
+    Exact across blocks: at most one row in the whole table matches a
+    query, so running any/max equals the single-pass result."""
+    any_hits, vals, bos = state
+    any_hits, vals, bos = list(any_hits), list(vals), list(bos)
+    for lvl, (q1, q2) in enumerate(queries):
+        # (C, W, B) compare against every dense row of this block
+        hit = (k1[:, None, :] == q1[None]) \
+            & (k2[:, None, :] == q2[None]) \
+            & (lv[:, None, :] == lvl) \
             & (q1[None] != 0)
-        any_hit = jnp.any(hit, axis=0)                       # (W, B)
-        val = jnp.max(jnp.where(hit, lm.logp[:, None, :], NEG), axis=0)
-        bo = jnp.max(jnp.where(hit, lm.bo[:, None, :], NEG), axis=0)
-        bo = jnp.where(any_hit, bo, 0.0)
-        vals.append(val)
-        any_hits.append(any_hit)
-        bos.append(bo)
+        any_hits[lvl] = jnp.maximum(
+            any_hits[lvl], jnp.any(hit, axis=0).astype(jnp.int32))
+        vals[lvl] = jnp.maximum(
+            vals[lvl],
+            jnp.max(jnp.where(hit, lg[:, None, :], NEG), axis=0))
+        bos[lvl] = jnp.maximum(
+            bos[lvl],
+            jnp.max(jnp.where(hit, bo_c[:, None, :], NEG), axis=0))
+    return tuple(any_hits), tuple(vals), tuple(bos)
 
+
+def _lm_match_init(qshape):
+    return (tuple(jnp.zeros(qshape, jnp.int32) for _ in range(3)),
+            tuple(jnp.full(qshape, NEG, jnp.float32) for _ in range(3)),
+            tuple(jnp.full(qshape, NEG, jnp.float32) for _ in range(3)))
+
+
+def _lm_combine(state, unk_logp, c1_bo, ctx_bo, c1h1, c2h1):
+    """Katz backoff combine — mirrors device_beam._word_lm_score
+    (dense=True) bit for bit."""
+    hit_masks, vals, raw_bos = state
+    any_hits = [m != 0 for m in hit_masks]
+    bos = [jnp.where(any_hits[i], raw_bos[i], 0.0) for i in range(3)]
     p = jnp.where(any_hits[0], vals[0], unk_logp)
     p2 = jnp.where(any_hits[1], vals[1], c1_bo + p)
     p = jnp.where(c1h1 != 0, p2, p)
@@ -154,10 +214,60 @@ def _word_lm_score_k(lm: DenseLM, unk_logp, c2h1, c2h2, c1h1, c1h2,
     return p, w_bo, cw_bo
 
 
+def _word_lm_score_k(lm: DenseLM, unk_logp, c2h1, c2h2, c1h1, c1h2,
+                     wh1, wh2, c1_bo, ctx_bo):
+    """Single-pass dense-match Katz backoff, (W, B) queries. Used for
+    finalization (plain XLA) and for small tables inside the kernel."""
+    queries = _word_lm_queries(c2h1, c2h2, c1h1, c1h2, wh1, wh2)
+    state = _lm_match_init(c1h1.shape)
+    state = _lm_match_block(lm.key1, lm.key2, lm.logp, lm.bo, lm.level,
+                            queries, state)
+    return _lm_combine(state, unk_logp, c1_bo, ctx_bo, c1h1, c2h1)
+
+
+def _word_lm_score_refs(k1_ref, k2_ref, lg_ref, bo_ref, lv_ref, chunk,
+                        unk_logp, c2h1, c2h2, c1h1, c1h2, wh1, wh2,
+                        c1_bo, ctx_bo):
+    """In-kernel dense match over VMEM refs in `chunk`-row blocks via a
+    fori_loop (table row count must be a multiple of `chunk` — the
+    wrapper pads with key-0/level -1 rows, which can never match).
+
+    Why a loop over ref slices instead of slicing loaded arrays: the
+    (C, W, B) compare temporaries are lane-padded (B -> 128), so a
+    single-pass match blows VMEM beyond a few hundred rows, and
+    UNROLLED block loops deterministically crash the Mosaic compiler
+    once blocks x block-size crosses a working-set cliff (N=896 at
+    C=128 fails while N=768 passes — tools/bench_beam_lm_size.py).
+    A fori_loop bounds both code size and live temporaries to one
+    block regardless of N. Small tables (<= _UNROLL_BLOCKS blocks, well
+    under the cliff) unroll statically instead — the fori_loop costs a
+    measured ~7 us/step in loop overhead that small tables shouldn't
+    pay."""
+    n = k1_ref.shape[0]
+    queries = _word_lm_queries(c2h1, c2h2, c1h1, c1h2, wh1, wh2)
+    state = _lm_match_init(c1h1.shape)
+
+    if n // chunk <= _UNROLL_BLOCKS:
+        for c0 in range(0, n, chunk):
+            idx = (pl.ds(c0, chunk), slice(None))
+            state = _lm_match_block(
+                k1_ref[idx], k2_ref[idx], lg_ref[idx], bo_ref[idx],
+                lv_ref[idx], queries, state)
+    else:
+        def body(i, state):
+            idx = (pl.ds(i * chunk, chunk), slice(None))
+            return _lm_match_block(
+                k1_ref[idx], k2_ref[idx], lg_ref[idx], bo_ref[idx],
+                lv_ref[idx], queries, state)
+
+        state = jax.lax.fori_loop(0, n // chunk, body, state)
+    return _lm_combine(state, unk_logp, c1_bo, ctx_bo, c1h1, c2h1)
+
+
 def _beam_kernel(lens_ref, lp_ref, toplp_ref, topci_ref, *rest,
                  w: int, k_c: int, v1: int, blank: int, space: int,
                  alpha: float, beta: float, has_lm: bool,
-                 unk_logp: float):
+                 unk_logp: float, lm_chunk: int):
     if has_lm:
         (k1_ref, k2_ref, lg_ref, bo_ref, lv_ref, bp_ref, fin_ref,
          h1_s, h2_s, pb_s, pnb_s, lm_s, last_s, plen_s,
@@ -235,11 +345,16 @@ def _beam_kernel(lens_ref, lp_ref, toplp_ref, topci_ref, *rest,
                        b2[:, None, :] * jnp.uint32(P2) + cplus3[None])
 
     if has_lm:
-        lm = DenseLM(key1=k1_ref[...], key2=k2_ref[...],
-                     logp=lg_ref[...], bo=bo_ref[...],
-                     level=lv_ref[...], unk_logp=unk_logp)
-        raw_sw, w_bo, cw_bo = _word_lm_score_k(
-            lm, unk_logp, c2h1, c2h2, c1h1, c1h2, wh1, wh2, bo1, bo2)
+        if lm_chunk > 0:
+            raw_sw, w_bo, cw_bo = _word_lm_score_refs(
+                k1_ref, k2_ref, lg_ref, bo_ref, lv_ref, lm_chunk,
+                unk_logp, c2h1, c2h2, c1h1, c1h2, wh1, wh2, bo1, bo2)
+        else:
+            lm = DenseLM(key1=k1_ref[...], key2=k2_ref[...],
+                         logp=lg_ref[...], bo=bo_ref[...],
+                         level=lv_ref[...], unk_logp=unk_logp)
+            raw_sw, w_bo, cw_bo = _word_lm_score_k(
+                lm, unk_logp, c2h1, c2h2, c1h1, c1h2, wh1, wh2, bo1, bo2)
         sw = jnp.where(wh1 != 0, alpha * raw_sw + beta, 0.0)  # (W, B)
         ext_lm = lmsc[:, None, :] + jnp.where(
             is_space_c[None], sw[:, None, :], 0.0)
@@ -424,7 +539,7 @@ def _beam_kernel(lens_ref, lp_ref, toplp_ref, topci_ref, *rest,
 @functools.partial(
     jax.jit, static_argnames=("beam_width", "blank", "max_len", "alpha",
                               "beta", "cutoff_top_n", "space", "unk_logp",
-                              "interpret"))
+                              "interpret", "lm_chunk"))
 def pallas_beam_search(
     log_probs: jnp.ndarray,
     lengths: jnp.ndarray,
@@ -439,6 +554,7 @@ def pallas_beam_search(
     space: int = -1,
     max_len: int = 0,
     interpret: bool = False,
+    lm_chunk: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(B, T, V+1) log-probs -> (prefixes (B, L), lens (B,)).
 
@@ -466,11 +582,27 @@ def pallas_beam_search(
     lens2 = jnp.asarray(lengths, jnp.int32)[None, :]         # (1, B)
 
     has_lm = dense_lm is not None
+    n = dense_lm.key1.shape[0] if has_lm else 0
+    if lm_chunk is None:
+        lm_chunk = _pick_lm_chunk(n, w, bsz)
+    if has_lm and lm_chunk > 0 and n % lm_chunk:
+        # pad to a block multiple with rows that can never match
+        # (key 0, level -1) so the in-kernel fori_loop stays uniform
+        pad = lm_chunk - n % lm_chunk
+        dense_lm = DenseLM(
+            key1=jnp.pad(dense_lm.key1, ((0, pad), (0, 0))),
+            key2=jnp.pad(dense_lm.key2, ((0, pad), (0, 0))),
+            logp=jnp.pad(dense_lm.logp, ((0, pad), (0, 0))),
+            bo=jnp.pad(dense_lm.bo, ((0, pad), (0, 0))),
+            level=jnp.pad(dense_lm.level, ((0, pad), (0, 0)),
+                          constant_values=-1),
+            unk_logp=dense_lm.unk_logp,
+        )
+        n += pad
     kern = functools.partial(
         _beam_kernel, w=w, k_c=k_c, v1=v1, blank=blank, space=space,
-        alpha=alpha, beta=beta, has_lm=has_lm, unk_logp=unk_logp)
-
-    n = dense_lm.key1.shape[0] if has_lm else 0
+        alpha=alpha, beta=beta, has_lm=has_lm, unk_logp=unk_logp,
+        lm_chunk=lm_chunk)
     lm_specs = [
         pl.BlockSpec((n, 1), lambda t: (0, 0), memory_space=pltpu.VMEM)
         for _ in range(5)] if has_lm else []
@@ -515,6 +647,7 @@ def pallas_beam_search(
 
     total = _lse2(f32(F_PB), f32(F_PNB)) + f32(F_LM)         # (W, B)
     if has_lm:
+        # finalization runs in plain XLA — no VMEM constraint, one pass
         sw, _, _ = _word_lm_score_k(
             dense_lm, unk_logp,
             fin[F_C2H1], fin[F_C2H2], fin[F_C1H1], fin[F_C1H2],
