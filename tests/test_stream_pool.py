@@ -97,6 +97,31 @@ def test_pool_int16_wire_format_matches_float(pool_setup):
     assert set(out) == {sa, sb}
 
 
+def test_pool_beam_decoder_with_word_lm(pool_setup, tmp_path):
+    """decoder='beam' + lm_path must reach the per-slot IncrementalBeam
+    (the CLI serve path: --stream-decoder beam --lm-path ...)."""
+    from vietasr_tpu.ops.lm import train_ngram_arpa
+    from vietasr_tpu.serve.streams import IncrementalBeam
+
+    cfg, ot = pool_setup
+    arpa = tmp_path / "w.arpa"
+    words = [" ".join(cfg.labels[0] * 2 for _ in range(3))] * 4
+    train_ngram_arpa(words, str(arpa), order=3, char_level=False)
+    pool = StreamPool(ot, slots=2, chunk_samples=3200, decoder="beam",
+                      lm_path=str(arpa), beam_width=8,
+                      lm_alpha=0.4, lm_beta=1.0)
+    assert pool._lm is not None
+    s = pool.open()
+    dec = pool.decoders[s]
+    assert isinstance(dec, IncrementalBeam)
+    assert dec._dec.lm is pool._lm
+    assert dec._dec.alpha == 0.4 and dec._dec.beta == 1.0
+    rng = np.random.RandomState(3)
+    for i in range(3):
+        pool.feed({s: (rng.randn(3200) * 0.1).astype(np.float32)})
+    assert isinstance(pool.close(s), str)
+
+
 def test_pool_capacity_and_bad_chunk(pool_setup):
     _, ot = pool_setup
     pool = StreamPool(ot, slots=2, chunk_samples=3200)

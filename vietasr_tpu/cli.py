@@ -185,7 +185,9 @@ def cmd_serve(args) -> int:
             ot = OnlineTranscriber(t.cfg, t.variables)
         pool = StreamPool(ot, slots=args.stream_slots,
                           decoder=args.stream_decoder,
-                          beam_width=args.beam_width)
+                          beam_width=args.beam_width,
+                          lm_path=args.lm_path,
+                          lm_alpha=args.lm_alpha, lm_beta=args.lm_beta)
     serve(t, host=args.host, port=args.port, record_dir=args.record_dir,
           stream_pool=pool)
     return 0
