@@ -223,6 +223,50 @@ def measure_greedy(config_path, batch=BATCH):
     return throughput, mfu
 
 
+def measure_int8_greedy(config_path, batch=BATCH):
+    """Config 1 with int8 pointwise-conv serving (models/quantize.py).
+    Same shapes/weights semantics as measure_greedy; activation scales
+    calibrated from the measurement distribution."""
+    import jax
+    import jax.numpy as jnp
+
+    from vietasr_tpu.config import load_config
+    from vietasr_tpu.frontend.features import make_featurizer
+    from vietasr_tpu.models import fold_batchnorm, init_quartznet, \
+        quartznet_apply
+    from vietasr_tpu.models.quantize import (calibrate_activations,
+                                             int8_pw_fn, quantize_quartznet)
+
+    cfg = load_config(config_path)
+    variables = fold_batchnorm(
+        init_quartznet(jax.random.PRNGKey(0), cfg.encoder, cfg.num_classes),
+        cfg.encoder)
+    featurize = make_featurizer(cfg.featurizer)
+
+    rng = np.random.RandomState(0)
+    signal = jnp.asarray(rng.randn(batch, SECONDS * SR).astype(np.float32)
+                         * 0.1)
+    lengths = jnp.asarray(np.full((batch,), SECONDS * SR, np.int32))
+    feats, flens = jax.jit(featurize)(signal[:2], lengths[:2])
+    tables = quantize_quartznet(
+        variables, cfg.encoder,
+        calibrate_activations(variables, cfg.encoder, feats, flens,
+                              compute_dtype=jnp.bfloat16))
+    pw = int8_pw_fn(tables)
+
+    @jax.jit
+    def fwd(variables, signal, lengths):
+        feats, flens = featurize(signal, lengths)
+        log_probs, enc_lens, _ = quartznet_apply(
+            variables, feats, flens, cfg=cfg.encoder,
+            compute_dtype=jnp.bfloat16, pw_fn=pw)
+        preds = jnp.argmax(log_probs, axis=-1)
+        return preds, enc_lens
+
+    dt = _timeit(lambda s, l: fwd(variables, s, l)[0], signal, lengths)
+    return batch * SECONDS / dt
+
+
 # ---------------------------------------------------------------------------
 # config 2: + on-device word-LM beam search (end to end)
 
@@ -544,6 +588,13 @@ def main():
     emit("greedy_inference_throughput_quartznet12x1_vi", value, "audio-s/s",
          vs_baseline=value / baseline, mfu=round(mfu, 4),
          config=f"B={BATCH}x{SECONDS}s bf16 W=1")
+
+    v_i8 = measure_int8_greedy(CONFIG)
+    emit("int8_greedy_inference_throughput_quartznet12x1_vi", v_i8,
+         "audio-s/s", vs_baseline=v_i8 / baseline,
+         config=f"B={BATCH}x{SECONDS}s int8 pointwise GEMMs (per-channel "
+                "weights, static activation scales; TPU-native extension — "
+                "the reference serves fp32 CPU)")
 
     beam = measure_word_lm_beam()
     emit("word_lm_beam_throughput_quartznet12x1_vi", beam, "audio-s/s",

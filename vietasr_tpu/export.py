@@ -36,7 +36,7 @@ def export_transcriber(transcriber, out_dir: str, *,
     entries = []
     # weights ARE baked into the exported program (it must be self-contained)
     fn = jax.jit(lambda signal, lengths: transcriber._forward(
-        transcriber.variables, signal, lengths))
+        transcriber.variables, transcriber._q_tables, signal, lengths))
     for b in batch_sizes:
         for s in buckets:
             signal = jnp.zeros((b, s), jnp.float32)

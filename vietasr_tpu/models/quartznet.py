@@ -186,8 +186,13 @@ def _apply_depthwise(x, w, bcfg: BlockConfig):
     return jnp.moveaxis(y, 1, 2).reshape(b, t2, c)
 
 
+def _default_pw(tag, x, w):
+    return pointwise_conv(x, w)
+
+
 def _apply_sub(x, lens, params, stats, bcfg: BlockConfig, conv_mask: bool,
-               training: bool, compute_dtype=None):
+               training: bool, compute_dtype=None, pw_fn=_default_pw,
+               tag=""):
     """conv(+shuffle)+BN. Returns (y, new_lens, new_stats).
 
     compute_dtype=bfloat16 runs the convs/matmuls on the MXU in bf16 with
@@ -210,7 +215,7 @@ def _apply_sub(x, lens, params, stats, bcfg: BlockConfig, conv_mask: bool,
                 else params["pw_w"]
             x = dense_conv1d(cast(x), cast(w), groups=bcfg.groups)
         else:
-            x = pointwise_conv(cast(x), cast(params["pw_w"]))
+            x = pw_fn(tag, cast(x), cast(params["pw_w"]))
     else:
         if conv_mask:
             x = mask_padding(x, lens)
@@ -234,7 +239,7 @@ def _apply_sub(x, lens, params, stats, bcfg: BlockConfig, conv_mask: bool,
 
 def _apply_block(xs, lens_orig, params, stats, bcfg: BlockConfig,
                  cfg: EncoderConfig, training: bool, rng,
-                 compute_dtype=None):
+                 compute_dtype=None, pw_fn=_default_pw, block_idx=0):
     """Reference JasperBlock.forward (parts/jasper.py:408-448).
 
     The conv stack deliberately stays on XLA: a fused Pallas separable
@@ -249,7 +254,8 @@ def _apply_block(xs, lens_orig, params, stats, bcfg: BlockConfig,
     for r in range(bcfg.repeat):
         out, lens, s = _apply_sub(out, lens, params["sub"][r],
                                   stats["sub"][r], bcfg, cfg.conv_mask,
-                                  training, compute_dtype)
+                                  training, compute_dtype, pw_fn,
+                                  f"enc{block_idx}.sub{r}")
         new_stats["sub"].append(s)
         if r < bcfg.repeat - 1:
             out = act(out)
@@ -269,7 +275,8 @@ def _apply_block(xs, lens_orig, params, stats, bcfg: BlockConfig,
             res = xs[i]
             if cfg.conv_mask:
                 res = mask_padding(res, lens_orig)
-            res = pointwise_conv(cast(res), cast(pane["conv_w"]))
+            res = pw_fn(f"enc{block_idx}.res{i}", cast(res),
+                        cast(pane["conv_w"]))
             if "bn" in pane:
                 res = res.astype(jnp.float32)
                 res, new_stats["res"][i] = dict_bn(res, pane,
@@ -310,12 +317,17 @@ def quartznet_apply(
     training: bool = False,
     rng: Optional[jax.Array] = None,
     compute_dtype=None,
+    pw_fn=_default_pw,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, dict]:
     """Forward pass.
 
     Args:
       feats: (B, T, feat_in) from the frontend (channels last).
       feat_lens: (B,) int32.
+      pw_fn: intercept for every 1x1 (pointwise) conv call site,
+        `(tag, x, w) -> y`; the default just applies `pointwise_conv`.
+        Tags name the site ("enc{i}.sub{r}", "enc{i}.res{p}", "dec").
+        Used by models/quantize.py for int8 calibration and serving.
 
     Returns:
       log_probs: (B, T_out, num_classes + 1) — log_softmax over the head
@@ -336,12 +348,12 @@ def quartznet_apply(
         rng, block_rng = jax.random.split(rng)
         xs, lens, s = _apply_block(
             xs, lens, params["encoder"][i], enc_stats[i], bcfg, cfg,
-            training, block_rng, compute_dtype)
+            training, block_rng, compute_dtype, pw_fn, i)
         new_enc_stats.append(s)
 
     encoded = xs[-1]                                    # (B, T', C)
     dec = params["decoder"]
-    logits = pointwise_conv(encoded, dec["w"]) + dec["b"]
+    logits = pw_fn("dec", encoded, dec["w"]) + dec["b"]
     log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     return log_probs, lens.astype(jnp.int32), {"encoder": new_enc_stats}
 

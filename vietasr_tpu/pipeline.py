@@ -98,7 +98,8 @@ class Transcriber:
             variables = fold_batchnorm(variables, self.cfg.encoder)
         self.variables = variables
 
-        self._featurize = make_featurizer(self.cfg.featurizer)
+        self._featurize_xla = make_featurizer(self.cfg.featurizer)
+        self._featurize_fused = None
         use_fused = self.opts.fused_frontend == "on"
         if self.opts.fused_frontend == "auto":
             from vietasr_tpu.frontend.pallas_frontend import fused_supported
@@ -109,7 +110,14 @@ class Transcriber:
             from vietasr_tpu.frontend.pallas_frontend import \
                 make_fused_featurizer
 
-            self._featurize = make_fused_featurizer(self.cfg.featurizer)
+            self._featurize_fused = make_fused_featurizer(self.cfg.featurizer)
+        # the fused kernel wins at serving micro-batches but loses to
+        # XLA's batched im2col at large B (docs/rooflines.md §1: B=16
+        # 2.40 vs 3.63 ms, B=128 14.4 vs 6.43 ms); batch is static under
+        # jit, so _forward picks per traced shape
+        self._fused_max_batch = 64 if self.opts.fused_frontend == "auto" \
+            else (1 << 30)
+        self._q_tables: dict = {}   # int8 serving tables (calibrate_int8)
         self._fwd_jit = jax.jit(self._forward)
         sr = self.cfg.featurizer.sample_rate
         self.buckets = [int(s * sr) for s in self.opts.buckets_seconds]
@@ -148,21 +156,67 @@ class Transcriber:
 
     # -- compiled core -----------------------------------------------------
 
-    def _forward(self, variables, signal, lengths):
+    def _featurize(self, signal, lengths):
+        """Batch-aware frontend pick (batch is static under jit)."""
+        if (self._featurize_fused is not None
+                and signal.shape[0] <= self._fused_max_batch):
+            return self._featurize_fused(signal, lengths)
+        return self._featurize_xla(signal, lengths)
+
+    def _forward(self, variables, q_tables, signal, lengths):
         """Weights are a jit ARGUMENT (not a traced constant) so the many
-        (bucket x batch) programs share one copy of the params in HBM."""
+        (bucket x batch) programs share one copy of the params in HBM.
+        `q_tables` is the (possibly empty) int8 pointwise-conv table pytree
+        from calibrate_int8 — also an argument, for the same reason."""
         feats, flens = self._featurize(signal, lengths)
         dtype = jnp.dtype(self.opts.compute_dtype) \
             if self.opts.compute_dtype else None
+        kwargs = {}
+        if q_tables and self.cfg.architecture == "quartznet":
+            from vietasr_tpu.models.quantize import int8_pw_fn
+
+            kwargs["pw_fn"] = int8_pw_fn(q_tables)
         log_probs, enc_lens, _ = model_apply(
             variables, feats, flens, cfg=self.cfg,
-            compute_dtype=dtype)
+            compute_dtype=dtype, **kwargs)
         preds, keep = greedy_decode(log_probs, enc_lens,
                                     blank=self.cfg.num_classes)
         return log_probs, enc_lens, preds, keep
 
     def _fwd(self, signal, lengths):
-        return self._fwd_jit(self.variables, signal, lengths)
+        return self._fwd_jit(self.variables, self._q_tables, signal, lengths)
+
+    def calibrate_int8(self, signals: Sequence[np.ndarray]) -> None:
+        """Switch the forward path to int8 pointwise-conv GEMMs (~2x MXU
+        rate on v5e), calibrating static activation scales from the given
+        representative waveforms. QuartzNet + folded BN only; see
+        models/quantize.py. The reference has no quantized serving path.
+        """
+        if self.cfg.architecture != "quartznet" or not self.opts.fold_bn:
+            raise ValueError(
+                "int8 serving requires a QuartzNet with fold_bn=True")
+        from vietasr_tpu.models.quantize import (calibrate_activations,
+                                                 quantize_quartznet)
+
+        # one batched pass (one compile, one dispatch): pad every signal
+        # to the largest needed bucket — zero padding is masked out by the
+        # frontend normalization and cannot raise an abs-max
+        sigs = [np.asarray(s, np.float32).reshape(-1) for s in signals]
+        bl = max(self._bucket_len(len(s)) for s in sigs)
+        padded = np.zeros((len(sigs), bl), np.float32)
+        lens = np.zeros((len(sigs),), np.int32)
+        for i, s in enumerate(sigs):
+            n = min(len(s), bl)
+            padded[i, :n] = s[:n]
+            lens[i] = n
+        feats, flens = self._featurize(jnp.asarray(padded),
+                                       jnp.asarray(lens))
+        dtype = jnp.dtype(self.opts.compute_dtype) \
+            if self.opts.compute_dtype else None
+        amaxes = calibrate_activations(self.variables, self.cfg.encoder,
+                                       feats, flens, compute_dtype=dtype)
+        self._q_tables = quantize_quartznet(self.variables,
+                                            self.cfg.encoder, amaxes)
 
     def _bucket_len(self, n: int) -> int:
         for b in self.buckets:
