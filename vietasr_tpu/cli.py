@@ -62,6 +62,10 @@ def cmd_transcribe(args) -> int:
             continue
         signals.append(samples)
         kept.append(p)
+    if getattr(args, "int8", False):
+        # calibrate static activation scales from the inputs themselves
+        # (models/quantize.py; QuartzNet pointwise GEMMs go int8)
+        t.calibrate_int8(signals[: min(len(signals), 16)])
     t0 = time.time()
     texts = t.transcribe_batch(signals)
     wall = time.time() - t0
@@ -241,6 +245,9 @@ def main(argv=None) -> int:
                    choices=["greedy", "beam", "device_beam"],
                    help="greedy | host C++ beam (+word LM) | on-device "
                         "batched beam (+char-LM table)")
+    p.add_argument("--int8", action="store_true",
+                   help="serve the QuartzNet pointwise convs as calibrated "
+                        "int8 GEMMs (calibrates on the inputs)")
     p.add_argument("--max-duration", type=float, default=0.0,
                    help="skip files longer than this many seconds (0 = no "
                         "skip; the reference skips >10s, infer.py:201-203)")
