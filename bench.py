@@ -109,24 +109,38 @@ def conformer_flops_per_audio_second(cfg) -> float:
     return flops
 
 
-def _timeit(fn, *args, iters=5, trials=3):
-    """Best-of-`trials` mean over `iters` pipelined calls. Best (not mean)
-    of trials: the shared chip shows transient contention windows where
-    ALL compute uniformly slows; the minimum is the uncontended rate."""
-    out = fn(*args)
+def _timeit(fn, *args, iters=10, trials=3, base=2):
+    """MARGINAL per-step time by chain difference: time `base` and
+    `base + iters` back-to-back dispatches and divide the difference.
+    The tunnel-attached chip charges a fixed ~40 ms dispatch+sync round
+    trip per measured batch (measured via 3-vs-33-step chains); averaging
+    it into a 5-iteration batch underreports sustained throughput by
+    10-25%. The difference cancels it exactly — same trick as the MXU
+    canary. Best (not mean) of trials: contention windows slow everything
+    uniformly, the minimum is the uncontended rate. Syncs by PULLING the
+    first output leaf (block_until_ready does not reliably wait on the
+    tunnel backend; callers return a small leaf first)."""
     import jax
 
-    jax.block_until_ready(out)
-    best = float("inf")
-    for _ in range(trials):
-        out = fn(*args)
-        jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn(*args)
-        jax.block_until_ready(out)
-        best = min(best, (time.perf_counter() - t0) / iters)
-    return best
+    def pull(out):
+        jax.device_get(jax.tree_util.tree_leaves(out)[0])
+
+    pull(fn(*args))                                  # compile + warm
+
+    def run(n):
+        best = float("inf")
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            out = None
+            for _ in range(n):
+                out = fn(*args)
+            pull(out)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    lo = run(base)
+    hi = run(base + iters)
+    return max((hi - lo) / iters, 1e-9)
 
 
 def _canary_tfs():
@@ -390,17 +404,12 @@ def measure_conformer_train(batch=32, seconds=15):
     key = train_rng(1)      # hardware-RNG dropout keys (Trainer default)
 
     def step(state):
+        # loss FIRST: _timeit pulls the first leaf to sync (scalar);
+        # returning new_state keeps the optimizer update live under DCE
         new_state, metrics = train_step(state, batch_d, key)
-        return new_state, metrics["loss"]
+        return metrics["loss"], new_state
 
-    state, _ = step(state)
-    jax.block_until_ready(state.params)
-    t0 = time.perf_counter()
-    iters = 3
-    for _ in range(iters):
-        state, loss = step(state)
-    jax.block_until_ready(loss)
-    dt = (time.perf_counter() - t0) / iters
+    dt = _timeit(step, state, iters=8)
     throughput = batch * seconds / dt
     # fwd + bwd ~ 3x forward FLOPs
     mfu = 3 * conformer_flops_per_audio_second(cfg) * throughput \
