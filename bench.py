@@ -88,24 +88,34 @@ def quartznet_flops_per_audio_second(cfg) -> float:
     return flops
 
 
-def conformer_flops_per_audio_second(cfg) -> float:
-    """Approximate forward FLOPs/audio-second for the Conformer encoder:
-    per block 2x half-step FFNs (8*T*d^2*ff/2 each), MHSA (8*T*d^2 proj +
-    4*T^2*d scores), conv module (pointwise 2*2*T*d*2d + depthwise
-    2*T*K*d), plus subsampling convs and the CTC head."""
+def conformer_flops_per_audio_second(cfg, seconds=SECONDS) -> float:
+    """Forward FLOPs/audio-second for the Conformer encoder: per block 2x
+    half-step FFNs, MHSA (q/k/v/out + rel-pos projections, content+position
+    scores and attn@V over the FULL T-frame context), conv module
+    (pointwise GLU + depthwise), plus the subsampling frontend (mode-aware,
+    incl. the conv2d stages' frequency spatial extent) and the CTC head."""
     e = cfg.conformer
     d = e.d_model
     ff = e.ff_expansion
+    f_in = cfg.featurizer.features
     t = (SR // cfg.featurizer.hop_length) // e.subsampling_factor
+    t_full = t * seconds                   # attention context (frames/utt)
     per_block = (2 * (2.0 * t * d * d * ff * 2)     # two macaron FFNs
-                 + 8.0 * t * d * d + 4.0 * t * t * d
+                 + 8.0 * t * d * d                  # q, k, v, out proj
+                 + 2.0 * t * d * d                  # rel-pos ws/wc matmuls
+                 + 4.0 * t * t_full * d             # content scores + attn@V
+                 + 2.0 * t * t_full * d             # position scores
                  + 2.0 * t * d * 2 * d * 2 + 2.0 * t * e.conv_kernel * d)
     flops = e.num_blocks * per_block
     flops += 2.0 * t * d * (cfg.num_classes + 1)
-    # subsampling stack (2 strided convs at ~T and T/2)
     t0 = SR // cfg.featurizer.hop_length
-    flops += 2.0 * (t0 // 2) * 9 * cfg.featurizer.features * d
-    flops += 2.0 * (t0 // 4) * 9 * d * d
+    if e.subsampling_mode == "conv2d":
+        c = e.subsampling_channels
+        flops += 2.0 * (t0 // 2) * (f_in // 2) * 9 * 1 * c      # stage 1
+        flops += 2.0 * (t0 // 4) * (f_in // 4) * 9 * c * c      # stage 2
+        flops += 2.0 * t * (c * (f_in // 4)) * d                # proj
+    else:
+        flops += 2.0 * t * 4 * f_in * d                         # stack proj
     return flops
 
 
@@ -374,7 +384,9 @@ def measure_longform_8khz():
 # config 5: Conformer-CTC data-parallel training step
 
 
-def measure_conformer_train(batch=32, seconds=15):
+def measure_conformer_train(batch=32, seconds=15, subsampling=None):
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
     import optax
@@ -385,6 +397,9 @@ def measure_conformer_train(batch=32, seconds=15):
     from vietasr_tpu.train.state import TrainState
 
     cfg = load_config(CONFIG_CONFORMER)
+    if subsampling:
+        cfg = dataclasses.replace(cfg, conformer=dataclasses.replace(
+            cfg.conformer, subsampling_mode=subsampling))
     variables = model_init(jax.random.PRNGKey(0), cfg)
     optimizer = optax.adamw(1e-3)
     state = TrainState.create(variables, optimizer)
@@ -624,6 +639,13 @@ def main():
     emit("conformer_ctc_train_step", tr, "audio-s/s", mfu=round(mfu_tr, 4),
          config="B=32x15s bf16 AdamW, full pipeline incl. featurizer + "
                 "SpecAugment + CTC loss, 1 chip (dp=1)")
+
+    tr_s, mfu_s = measure_conformer_train(subsampling="stack")
+    emit("conformer_ctc_train_step_stack", tr_s, "audio-s/s",
+         mfu=round(mfu_s, 4),
+         config="same, subsampling_mode=stack (frame stacking replaces the "
+                "conv2d subsampler — ~22% of the conv2d step is the "
+                "downsampler incl. its 246 MB bwd relayouts)")
 
     sess, step_wall = measure_streaming_sessions()
     emit("streaming_realtime_sessions_per_chip", sess, "sessions",

@@ -101,6 +101,37 @@ def test_conformer_bf16_close_to_fp32(tiny_cfg):
     assert float(jnp.max(jnp.abs(lp32 - lp16))) < 0.15
 
 
+def test_scan_blocks_matches_unrolled(tiny_cfg):
+    """lax.scan over the block stack is the default; its outputs must be
+    bit-compatible with the Python unroll (same math, same dropout keys),
+    in eval AND training mode (dropout + BN stat updates)."""
+    import dataclasses
+
+    cfg_scan = dataclasses.replace(tiny_cfg, scan_blocks=True, dropout=0.1)
+    cfg_unroll = dataclasses.replace(tiny_cfg, scan_blocks=False,
+                                     dropout=0.1)
+    variables = init_conformer(jax.random.PRNGKey(2), cfg_scan, feat_in=64,
+                               num_classes=10)
+    feats = jnp.asarray(np.random.RandomState(2).randn(2, 48, 64)
+                        .astype(np.float32))
+    lens = jnp.array([48, 20], jnp.int32)
+    for training in (False, True):
+        rng = jax.random.PRNGKey(7)
+        lp_s, len_s, st_s = conformer_apply(variables, feats, lens,
+                                            cfg=cfg_scan, training=training,
+                                            rng=rng)
+        lp_u, len_u, st_u = conformer_apply(variables, feats, lens,
+                                            cfg=cfg_unroll,
+                                            training=training, rng=rng)
+        np.testing.assert_array_equal(np.asarray(len_s), np.asarray(len_u))
+        np.testing.assert_allclose(np.asarray(lp_s), np.asarray(lp_u),
+                                   atol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(st_s),
+                        jax.tree_util.tree_leaves(st_u)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-6)
+
+
 def test_yaml_dispatch_and_param_count():
     cfg = load_config(CONFIG)
     assert cfg.architecture == "conformer"

@@ -371,10 +371,40 @@ def conformer_apply(
         return _layernorm(x, bp["final_ln"]), s
 
     block_call = jax.checkpoint(one_block) if remat else one_block
-    for bi, bp in enumerate(params["blocks"]):
+    n = len(params["blocks"])
+    # identical key derivation for both paths: the scan receives the same
+    # per-block keys the unrolled loop would draw
+    block_keys = []
+    for _ in range(n):
         rng, *ks = jax.random.split(rng, 7)
-        x, s = block_call(x, bp, stats["blocks"][bi], tuple(ks))
-        new_stats["blocks"].append(s)
+        block_keys.append(ks)
+
+    if cfg.scan_blocks and n > 1:
+        # lax.scan over the homogeneous block stack: identical math to
+        # the unroll (test_conformer asserts it), O(1) compiled-graph
+        # size. NOT the perf default — see ConformerConfig.scan_blocks.
+        stacked_p = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *params["blocks"])
+        stacked_s = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *stats["blocks"])
+        stacked_k = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *block_keys)
+
+        def body(x, xs):
+            bp, bstat, ks = xs
+            y, s = block_call(x, bp, bstat, tuple(ks))
+            return y, s
+
+        x, stacked_ns = jax.lax.scan(body, x,
+                                     (stacked_p, stacked_s, stacked_k))
+        new_stats["blocks"] = [
+            jax.tree_util.tree_map(lambda l, i=i: l[i], stacked_ns)
+            for i in range(n)]
+    else:
+        for bi, bp in enumerate(params["blocks"]):
+            x, s = block_call(x, bp, stats["blocks"][bi],
+                              tuple(block_keys[bi]))
+            new_stats["blocks"].append(s)
 
     logits = _linear(x, params["decoder"], cast)
     log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)

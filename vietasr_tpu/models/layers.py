@@ -184,8 +184,14 @@ def dropout(x: jnp.ndarray, rate: float, rng, training: bool) -> jnp.ndarray:
     if not training or rate <= 0.0:
         return x
     keep = 1.0 - rate
-    mask = jax.random.bernoulli(rng, keep, x.shape)
-    return jnp.where(mask, x / keep, 0.0)
+    # keep-mask straight from raw u32 bits: one integer compare per
+    # element. jax.random.bernoulli goes bits -> f32 uniform -> lt, whose
+    # convert chain measured ~2.3 ms/step on the conformer train config
+    # (96 dropout sites); the u32 threshold is the same Bernoulli(keep)
+    # up to 2^-32 probability quantization.
+    bits = jax.random.bits(rng, x.shape, jnp.uint32)
+    thresh = jnp.uint32(min(int(keep * 2.0 ** 32), 2 ** 32 - 1))
+    return jnp.where(bits < thresh, x / keep, 0.0)
 
 
 # ---------------------------------------------------------------------------
