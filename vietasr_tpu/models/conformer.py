@@ -60,10 +60,14 @@ def _layernorm_init(d):
 
 
 def _layernorm(x, p, eps=1e-5):
-    # statistics always in fp32; output returns to the stream dtype
+    # statistics always in fp32; output returns to the stream dtype.
+    # one-pass variance (E[x^2] - E[x]^2): mean and mean-square reduce in
+    # the same fusion instead of a second (x - m)^2 pass — fine in fp32
+    # at d_model widths (the cancellation risk needs |m| >> std)
     x32 = x.astype(jnp.float32)
     m = jnp.mean(x32, axis=-1, keepdims=True)
-    v = jnp.mean((x32 - m) ** 2, axis=-1, keepdims=True)
+    ms = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+    v = jnp.maximum(ms - m * m, 0.0)
     y = (x32 - m) * jax.lax.rsqrt(v + eps) * p["scale"] + p["bias"]
     return y.astype(x.dtype)
 
@@ -188,9 +192,17 @@ def _mhsa(x, params, mask, cfg: ConformerConfig, pos_enc, cast):
     h = cfg.num_heads
     dh = d // h
 
-    q = _linear(x, params["q"], cast).reshape(b, t, h, dh)
-    k = _linear(x, params["k"], cast).reshape(b, t, h, dh)
-    v = _linear(x, params["v"], cast).reshape(b, t, h, dh)
+    # one fused (d, 3d) GEMM for q/k/v: params stay separate (checkpoint
+    # format unchanged); the concat is 0.6 MB and folds into the step
+    w_qkv = jnp.concatenate([params["q"]["w"], params["k"]["w"],
+                             params["v"]["w"]], axis=1)
+    b_qkv = jnp.concatenate([params["q"]["b"], params["k"]["b"],
+                             params["v"]["b"]])
+    qkv = jnp.einsum("...i,io->...o", cast(x), cast(w_qkv),
+                     preferred_element_type=jnp.float32) + b_qkv
+    qkv = cast(qkv)
+    q, k, v = [a.reshape(b, t, h, dh)
+               for a in jnp.split(qkv, 3, axis=-1)]
 
     qu = q + params["u"][None, None]
     qv = q + params["vb"][None, None]
