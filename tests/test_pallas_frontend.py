@@ -43,6 +43,23 @@ def test_fused_short_utterance_single_tile():
     _compare(FeaturizerConfig(dither=0.0), bsz=2, seconds=0.6, seed=3)
 
 
+def test_fused_default_precision_path():
+    """precision='default' (single-pass bf16 DFT on TPU) — on CPU
+    interpret DEFAULT f32 matmuls are exact, so this checks the code path
+    end to end against the oracle; the accuracy-class-vs-XLA-default
+    equivalence on real bf16 hardware is recorded in rooflines §1."""
+    cfg = FeaturizerConfig(dither=0.0)
+    rng = np.random.RandomState(4)
+    sig = jnp.asarray(rng.randn(2, 24000).astype(np.float32) * 0.1)
+    lens = jnp.asarray([24000, 11111], jnp.int32)
+    want, want_len = make_featurizer(cfg)(sig, lens)
+    got, got_len = fused_log_mel_features(sig, lens, cfg=cfg,
+                                          interpret=True,
+                                          precision="default")
+    np.testing.assert_array_equal(np.asarray(got_len), np.asarray(want_len))
+    assert np.abs(np.asarray(got) - np.asarray(want)).max() < 2e-4
+
+
 def test_fused_rejects_unsupported():
     cfg = FeaturizerConfig(dither=0.0, frame_splicing=2)
     sig = jnp.zeros((1, 16000))

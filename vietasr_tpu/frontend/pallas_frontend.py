@@ -50,7 +50,7 @@ FRAMES_PER_TILE = 128
 
 def _kernel(seq_len_ref, sig_ref, dft_ref, mel_ref, out_ref, part_ref, *,
             hop: int, span_rows: int, n_bins: int, guard: float,
-            guard_type: str):
+            guard_type: str, precision: str = "highest"):
     """One (batch row, frame tile) step.
 
     sig_ref: (1, 1, span_rows, hop) signal slice covering the tile (the
@@ -70,11 +70,18 @@ def _kernel(seq_len_ref, sig_ref, dft_ref, mel_ref, out_ref, part_ref, *,
     # row blocks, each against its hop-row slice of the DFT matrix — the
     # same MXU FLOPs with no cross-sublane concatenate (which Mosaic
     # cannot lay out for offsets that are not multiples of 8)
-    # fp32 (3-pass) matmul: the DFT has heavy cancellation, so bf16
-    # MXU passes corrupt low-energy bins and log() amplifies the damage
-    # (measured: max feature err 1.4 at default precision, 3e-4 at HIGHEST)
+    # precision="highest": fp32 (6-pass) matmuls — the DFT has heavy
+    # cancellation, bf16 passes corrupt low-energy bins and log()
+    # amplifies the damage into O(1) error on spectral-floor bins
+    # (measured: max feature err 1.4 at default precision, 3e-4 at
+    # HIGHEST). precision="default": single bf16 passes — the SAME
+    # accuracy class as the default-precision XLA chain it replaces at
+    # large batch (transcript-neutral on real speech, rooflines §1), at
+    # 1/6 the MXU work.
+    prec = jax.lax.Precision.HIGHEST if precision == "highest" \
+        else jax.lax.Precision.DEFAULT
     dotf = partial(jnp.dot, preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)
+                   precision=prec)
     spec = dotf(rows[0:f], dft_ref[0:hop, :])              # (F, 2*nb_pad)
     for i in range(1, rpf):
         spec += dotf(rows[i : f + i], dft_ref[i * hop : (i + 1) * hop, :])
@@ -104,10 +111,11 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-@partial(jax.jit, static_argnames=("cfg", "interpret"))
+@partial(jax.jit, static_argnames=("cfg", "interpret", "precision"))
 def fused_log_mel_features(signal, lengths, *, cfg: FeaturizerConfig,
                            rng=None, training: bool = False,
-                           interpret: bool = False):
+                           interpret: bool = False,
+                           precision: str = "highest"):
     """Drop-in fused replacement for log_mel_features (same contract:
     (B, S) + lengths -> (B, T_padded_to_pad_to, n_mels), seq_len)."""
     from vietasr_tpu.utils.typing import assert_audio_batch
@@ -182,7 +190,7 @@ def fused_log_mel_features(signal, lengths, *, cfg: FeaturizerConfig,
     logmel, parts = pl.pallas_call(
         partial(_kernel, hop=hop, span_rows=span_rows, n_bins=n_bins,
                 guard=cfg.log_zero_guard_value,
-                guard_type=cfg.log_zero_guard_type),
+                guard_type=cfg.log_zero_guard_type, precision=precision),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((bsz, n_tiles * FRAMES_PER_TILE, n_mels),
@@ -220,9 +228,11 @@ def fused_log_mel_features(signal, lengths, *, cfg: FeaturizerConfig,
     return feats, seq_len
 
 
-def make_fused_featurizer(cfg: FeaturizerConfig, *, interpret: bool = False):
+def make_fused_featurizer(cfg: FeaturizerConfig, *, interpret: bool = False,
+                          precision: str = "highest"):
     """Same factory contract as frontend.features.make_featurizer."""
-    return partial(fused_log_mel_features, cfg=cfg, interpret=interpret)
+    return partial(fused_log_mel_features, cfg=cfg, interpret=interpret,
+                   precision=precision)
 
 
 def fused_supported(cfg: FeaturizerConfig) -> bool:

@@ -50,8 +50,13 @@ class TranscriberOptions:
     # log-prob deviation ~3e-5 (measured on v5e); set None for exact fp32.
     compute_dtype: Optional[str] = "bfloat16"
     # "auto": fused Pallas frontend on TPU when the config is covered
-    # (1.5x faster than the XLA chain AND fp32-accurate, see
-    # frontend/pallas_frontend.py); "on"/"off" force it.
+    # (faster than the XLA chain AND fp32-accurate at serving batches,
+    # see frontend/pallas_frontend.py); "fast": fused kernel with
+    # single-pass bf16 DFT matmuls — 6x faster than the XLA chain at
+    # B=16 (0.41 vs 2.51 ms) in the SAME accuracy class as the
+    # default-precision XLA chain (O(1) error confined to spectral-floor
+    # bins, transcript-neutral on real speech — rooflines §1);
+    # "on"/"off" force the fp32-accurate kernel / the XLA chain.
     fused_frontend: str = "auto"
 
 
@@ -100,7 +105,7 @@ class Transcriber:
 
         self._featurize_xla = make_featurizer(self.cfg.featurizer)
         self._featurize_fused = None
-        use_fused = self.opts.fused_frontend == "on"
+        use_fused = self.opts.fused_frontend in ("on", "fast")
         if self.opts.fused_frontend == "auto":
             from vietasr_tpu.frontend.pallas_frontend import fused_supported
 
@@ -110,13 +115,18 @@ class Transcriber:
             from vietasr_tpu.frontend.pallas_frontend import \
                 make_fused_featurizer
 
-            self._featurize_fused = make_fused_featurizer(self.cfg.featurizer)
+            precision = "default" if self.opts.fused_frontend == "fast" \
+                else "highest"
+            self._featurize_fused = make_fused_featurizer(
+                self.cfg.featurizer, precision=precision)
         # the fused kernel wins at serving micro-batches but loses to
-        # XLA's batched im2col at large B (docs/rooflines.md §1: B=16
-        # 2.40 vs 3.63 ms, B=128 14.4 vs 6.43 ms); batch is static under
-        # jit, so _forward picks per traced shape
-        self._fused_max_batch = 64 if self.opts.fused_frontend == "auto" \
-            else (1 << 30)
+        # XLA's batched im2col at large B (docs/rooflines.md §1: HIGHEST
+        # 1.49 vs XLA 2.51 ms at B=16, 13.4 vs 3.8 at B=128; "fast"
+        # crosses over near B~96); batch is static under jit, so
+        # _forward picks per traced shape
+        self._fused_max_batch = \
+            96 if self.opts.fused_frontend == "fast" else \
+            64 if self.opts.fused_frontend == "auto" else (1 << 30)
         self._q_tables: dict = {}   # int8 serving tables (calibrate_int8)
         self._fwd_jit = jax.jit(self._forward)
         sr = self.cfg.featurizer.sample_rate
