@@ -362,6 +362,8 @@ def measure_longform_8khz():
     # the batch API overlaps per-utterance tunnel round trips with compute.
     import wave as wave_mod
 
+    from vietasr_tpu.audio.g711 import ulaw_encode
+
     wav = os.path.join(AUDIO_DIR, "510_cbsk___file_goc_510201920_3.wav")
     with wave_mod.open(wav) as w:
         sr8 = w.getframerate()
@@ -370,12 +372,16 @@ def measure_longform_8khz():
     n_utts = 4
     reps = int(np.ceil(total_seconds * sr8 / len(pcm)))
     base = np.tile(pcm, reps)[: total_seconds * sr8]
-    sigs = [np.roll(base, i * sr8) for i in range(n_utts)]
+    # ship the telephony wire format: G.711 mu-law bytes, decoded +
+    # resampled on device (8x fewer upload bytes than f32, 2x than int16
+    # — the upload bounds this config, docs/rooflines.md §6)
+    sigs = [ulaw_encode(np.roll(base, i * sr8)) for i in range(n_utts)]
 
     t = Transcriber(CONFIG, options=TranscriberOptions(max_batch=32))
-    t.transcribe_long_batch(sigs[:1], signal_sr=sr8)   # warmup / compile
+    t.transcribe_long_batch(sigs[:1], signal_sr=sr8,
+                            signal_encoding="ulaw")    # warmup / compile
     t0 = time.perf_counter()
-    t.transcribe_long_batch(sigs, signal_sr=sr8)
+    t.transcribe_long_batch(sigs, signal_sr=sr8, signal_encoding="ulaw")
     dt = time.perf_counter() - t0
     return n_utts * total_seconds / dt
 
@@ -453,11 +459,14 @@ def measure_streaming_sessions(slots=64):
     pool = StreamPool(ot, slots=slots)
     chunk_s = pool.chunk_samples / cfg.featurizer.sample_rate
 
+    from vietasr_tpu.audio.g711 import ulaw_encode
+
     rng = np.random.RandomState(0)
     for s in range(slots):
         assert pool.open() == slots - 1 - s or True
-    chunks = {s: (rng.randn(pool.chunk_samples) * 3000).astype(np.int16)
-              for s in range(slots)}       # PCM16 wire format
+    chunks = {s: ulaw_encode(
+        (rng.randn(pool.chunk_samples) * 3000).astype(np.int16))
+        for s in range(slots)}             # G.711 mu-law wire format
     pool.feed(chunks)                      # compile + warm
     best = np.inf
     for _ in range(3):
@@ -632,8 +641,9 @@ def main():
 
     lf = measure_longform_8khz()
     emit("longform_8khz_chunked_streaming", lf, "audio-s/s",
-         config="real 8kHz call-center wav tiled to 300s, resample + "
-                "chunked greedy (reference skips >10s, infer.py:201)")
+         config="real 8kHz call-center wav tiled to 300s, G.711 mu-law "
+                "wire bytes decoded + resampled on device, chunked greedy "
+                "(reference skips >10s, infer.py:201)")
 
     tr, mfu_tr = measure_conformer_train()
     emit("conformer_ctc_train_step", tr, "audio-s/s", mfu=round(mfu_tr, 4),
@@ -652,7 +662,8 @@ def main():
          step_ms=round(step_wall * 1e3, 1),
          config="64-slot StreamPool, chunked-causal Conformer (stack, "
                 "chunk 0.64s, 3.2s left context), one vmapped step/tick, "
-                "host feed included (reference buffers whole utterances)")
+                "G.711 mu-law wire chunks decoded on chip, host feed "
+                "included (reference buffers whole utterances)")
 
     n_chars, digest, n_wavs = golden_anchor()
     emit("golden_transcript_anchor", n_chars, "chars",

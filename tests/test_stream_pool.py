@@ -97,6 +97,32 @@ def test_pool_int16_wire_format_matches_float(pool_setup):
     assert set(out) == {sa, sb}
 
 
+def test_pool_ulaw_wire_format_matches_int16(pool_setup):
+    """uint8 G.711 mu-law chunks (8x fewer wire bytes) decode ON DEVICE
+    and must produce the same ids as feeding the decoded PCM16."""
+    from vietasr_tpu.audio.g711 import ulaw_decode, ulaw_encode
+
+    cfg, ot = pool_setup
+    pool = StreamPool(ot, slots=2, chunk_samples=3200)
+    rng = np.random.RandomState(9)
+    codes = ulaw_encode((rng.randn(16000) * 3000).astype(np.int16))
+    pcm = ulaw_decode(codes)
+    chunks_u = [codes[i:i + 3200] for i in range(0, 16000, 3200)]
+    chunks_i = [pcm[i:i + 3200] for i in range(0, 16000, 3200)]
+
+    su = pool.open()
+    for c in chunks_u:
+        pool.feed({su: c})
+    ids_u = list(pool.decoders[su].ids)
+    pool.close(su)
+
+    si = pool.open()
+    for c in chunks_i:
+        pool.feed({si: c})
+    assert pool.decoders[si].ids == ids_u
+    pool.close(si)
+
+
 def test_pool_beam_decoder_with_word_lm(pool_setup, tmp_path):
     """decoder='beam' + lm_path must reach the per-slot IncrementalBeam
     (the CLI serve path: --stream-decoder beam --lm-path ...)."""

@@ -38,14 +38,64 @@ def _to_float32(samples: np.ndarray) -> np.ndarray:
     return samples.astype(np.float32)
 
 
+def _read_g711_wav(f) -> Tuple[np.ndarray, int]:
+    """Minimal RIFF walk for G.711 WAVs (fmt tags 7 = mu-law, 6 = A-law),
+    which scipy.io.wavfile rejects. The reference read these via
+    libsndfile (segment.py:89-100). Returns (float32 mono, sr)."""
+    import struct
+
+    from vietasr_tpu.audio.g711 import alaw_decode, ulaw_decode
+
+    f.seek(0)
+    riff, _, wave_id = struct.unpack("<4sI4s", f.read(12))
+    if riff != b"RIFF" or wave_id != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    tag = channels = sr = None
+    data = None
+    while True:
+        hdr = f.read(8)
+        if len(hdr) < 8:
+            break
+        cid, size = struct.unpack("<4sI", hdr)
+        if cid == b"fmt ":
+            fmt = f.read(size)
+            tag, channels, sr = struct.unpack("<HHI", fmt[:8])
+        elif cid == b"data":
+            data = f.read(size)
+        else:
+            f.seek(size + (size & 1), 1)
+        if size & 1 and cid in (b"fmt ", b"data"):
+            f.seek(1, 1)
+    if tag not in (6, 7) or data is None:
+        raise ValueError(f"unsupported wav format tag {tag}")
+    codes = np.frombuffer(data, np.uint8)
+    pcm = ulaw_decode(codes) if tag == 7 else alaw_decode(codes)
+    samples = pcm.astype(np.float32) / 32768.0
+    if channels and channels > 1:
+        samples = samples[: len(samples) // channels * channels]
+        samples = samples.reshape(-1, channels).mean(axis=1)
+    return samples, int(sr)
+
+
 def read_wav(path_or_bytes) -> Tuple[np.ndarray, int]:
-    """Read a wav file (path, file-like, or raw bytes) -> (float32 mono, sr)."""
+    """Read a wav file (path, file-like, or raw bytes) -> (float32 mono, sr).
+    PCM/float via scipy; G.711 mu-law/A-law (fmt tags 7/6) via the
+    built-in codec (audio/g711.py)."""
     if isinstance(path_or_bytes, (bytes, bytearray)):
         path_or_bytes = _io.BytesIO(path_or_bytes)
     import warnings
-    with warnings.catch_warnings():
-        warnings.simplefilter("ignore", wavfile.WavFileWarning)
-        sr, samples = wavfile.read(path_or_bytes)
+    try:
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", wavfile.WavFileWarning)
+            sr, samples = wavfile.read(path_or_bytes)
+    except ValueError:
+        f = path_or_bytes if hasattr(path_or_bytes, "seek") \
+            else open(path_or_bytes, "rb")
+        try:
+            return _read_g711_wav(f)
+        finally:
+            if f is not path_or_bytes:
+                f.close()
     samples = _to_float32(np.asarray(samples))
     if samples.ndim >= 2:
         samples = samples.mean(axis=1)

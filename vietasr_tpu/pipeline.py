@@ -330,20 +330,25 @@ class Transcriber:
     def transcribe_long(self, signal: np.ndarray, *,
                         chunk_seconds: float = 15.0,
                         overlap_seconds: float = 2.0,
-                        signal_sr: Optional[int] = None) -> str:
+                        signal_sr: Optional[int] = None,
+                        signal_encoding: Optional[str] = None) -> str:
         """Arbitrary-length audio via chunked streaming (the reference skips
-        files > 10 s instead, infer.py:201-203). int16 PCM and native-rate
-        input are converted/resampled ON DEVICE on the fused path."""
+        files > 10 s instead, infer.py:201-203). int16 PCM, uint8 G.711
+        (signal_encoding='ulaw'/'alaw') and native-rate input are
+        converted/resampled ON DEVICE on the fused path."""
         from vietasr_tpu.streaming import transcribe_long
 
         return transcribe_long(self, signal, chunk_seconds=chunk_seconds,
                                overlap_seconds=overlap_seconds,
-                               signal_sr=signal_sr)
+                               signal_sr=signal_sr,
+                               signal_encoding=signal_encoding)
 
     def transcribe_long_batch(self, signals: Sequence[np.ndarray], *,
                               chunk_seconds: float = 15.0,
                               overlap_seconds: float = 2.0,
-                              signal_sr: Optional[int] = None) -> List[str]:
+                              signal_sr: Optional[int] = None,
+                              signal_encoding: Optional[str] = None
+                              ) -> List[str]:
         """Several long utterances, dispatched together so device round
         trips overlap compute (see streaming.transcribe_long_batch)."""
         from vietasr_tpu.streaming import transcribe_long_batch
@@ -351,7 +356,8 @@ class Transcriber:
         return transcribe_long_batch(self, signals,
                                      chunk_seconds=chunk_seconds,
                                      overlap_seconds=overlap_seconds,
-                                     signal_sr=signal_sr)
+                                     signal_sr=signal_sr,
+                                     signal_encoding=signal_encoding)
 
     def transcribe_file(self, path: str) -> str:
         samples, _ = read_audio(

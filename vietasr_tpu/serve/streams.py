@@ -112,9 +112,15 @@ class StreamPool:
         # an eager tree_map of jnp.where over the ~dozens of state leaves
         # costs one dispatch each on a remote-attached chip.
         def pool_step(states, batch, fed):
-            if batch.dtype == jnp.int16:
+            if batch.dtype == jnp.uint8:
+                # G.711 mu-law wire format: 8x fewer host->device bytes
+                # than f32 (the link, not compute, bounds multi-stream
+                # serving); decoded on chip
+                from vietasr_tpu.ops.g711 import ulaw_decode_f32
+
+                batch = ulaw_decode_f32(batch)
+            elif batch.dtype == jnp.int16:
                 # int16 wire format: 4x fewer host->device bytes than f32
-                # (the link, not compute, bounds multi-stream serving)
                 batch = batch.astype(jnp.float32) / 32768.0
             new_states, lp = jax.vmap(transcriber._step_impl)(states, batch)
 
@@ -180,9 +186,11 @@ class StreamPool:
 
     def feed(self, inputs: Dict[int, np.ndarray]) -> Dict[int, str]:
         """Advance the FED slots one chunk; `inputs` maps slot -> audio
-        chunk (exactly chunk_samples long), either float waveform in
-        [-1, 1] or raw int16 PCM (shipped to the device as-is and scaled
-        on chip — 4x fewer host->device bytes). Un-fed slots run through
+        chunk (exactly chunk_samples long): float waveform in [-1, 1],
+        raw int16 PCM (shipped to the device as-is and scaled on chip —
+        4x fewer host->device bytes), or uint8 G.711 mu-law (decoded on
+        chip — 8x fewer bytes, the telephony wire format; all fed chunks
+        in one tick must share a dtype). Un-fed slots run through
         the vmapped step on silence (shapes stay static) but their state
         rows are NOT committed, so concurrent sessions never push phantom
         audio through each other's encoder state. Thread-safe: the
@@ -192,13 +200,20 @@ class StreamPool:
 
         arrs = {s: np.asarray(c) for s, c in inputs.items()}
         i16 = bool(arrs) and all(a.dtype == np.int16 for a in arrs.values())
-        batch = np.zeros((self.slots, self.chunk_samples),
-                         np.int16 if i16 else np.float32)
+        u8 = bool(arrs) and all(a.dtype == np.uint8 for a in arrs.values())
+        wire = np.uint8 if u8 else np.int16 if i16 else np.float32
+        batch = np.zeros((self.slots, self.chunk_samples), wire)
+        if u8:
+            batch[:] = 0xFF                         # mu-law silence code
         fed = np.zeros((self.slots,), bool)
         for slot, chunk in arrs.items():
+            if chunk.dtype == np.uint8 and not u8:
+                from vietasr_tpu.audio.g711 import ulaw_decode
+
+                chunk = ulaw_decode(chunk).astype(np.float32) / 32768.0
             if chunk.dtype == np.int16 and not i16:
                 chunk = chunk.astype(np.float32) / 32768.0
-            if chunk.dtype != np.int16:
+            if chunk.dtype not in (np.int16, np.uint8):
                 assert_waveform(chunk, port="stream.chunk")
             if len(chunk) != self.chunk_samples:
                 raise ValueError(

@@ -148,7 +148,15 @@ def _longform_program(transcriber, n_spans: int, chunk: int, overlap: int,
     static_prefix = sum(b - a for a, b in ranges[:-1])
 
     def run(variables, flat, last_len):
-        if in_dtype == "int16":
+        if in_dtype == "ulaw":
+            from vietasr_tpu.ops.g711 import ulaw_decode_f32
+
+            flat = ulaw_decode_f32(flat)       # 8x fewer bytes than f32
+        elif in_dtype == "alaw":
+            from vietasr_tpu.ops.g711 import alaw_decode_f32
+
+            flat = alaw_decode_f32(flat)
+        elif in_dtype == "int16":
             flat = flat.astype(jnp.float32) * (1.0 / 32768.0)
         if resampler is not None:
             flat = resampler(flat)[:n_pad]
@@ -184,7 +192,8 @@ def _longform_program(transcriber, n_spans: int, chunk: int, overlap: int,
 
 
 def _prep_longform(transcriber, signal: np.ndarray,
-                   signal_sr: Optional[int], chunk: int, overlap: int):
+                   signal_sr: Optional[int], chunk: int, overlap: int,
+                   signal_encoding: Optional[str] = None):
     """Host-side staging for the fused program.
 
     Returns (n_spans, flat_in, last_len, in_sr, in_dtype) where flat_in is
@@ -208,9 +217,23 @@ def _prep_longform(transcriber, signal: np.ndarray,
         n_pad_in = n_pad
     else:
         n_pad_in = -(-n_pad * down // up)
-    in_dtype = "int16" if signal.dtype == np.int16 else "float32"
-    flat = np.zeros((n_pad_in,), signal.dtype if in_dtype == "int16"
-                    else np.float32)
+    if signal.dtype == np.uint8:
+        if signal_encoding not in ("ulaw", "alaw"):
+            raise ValueError(
+                "uint8 signals are G.711 wire bytes; pass "
+                "signal_encoding='ulaw' or 'alaw'")
+        in_dtype = signal_encoding
+        flat = np.zeros((n_pad_in,), np.uint8)
+        if signal_encoding == "ulaw":
+            flat[:] = 0xFF                       # mu-law silence code
+        else:
+            flat[:] = 0x55                       # A-law silence code
+    elif signal.dtype == np.int16:
+        in_dtype = "int16"
+        flat = np.zeros((n_pad_in,), np.int16)
+    else:
+        in_dtype = "float32"
+        flat = np.zeros((n_pad_in,), np.float32)
     flat[: len(signal)] = signal
     last_len = n_model - (len(spans) - 1) * step
     return len(spans), flat, last_len, in_sr, in_dtype
@@ -223,6 +246,7 @@ def transcribe_long_batch(
     chunk_seconds: float = 15.0,
     overlap_seconds: float = 2.0,
     signal_sr: Optional[int] = None,
+    signal_encoding: Optional[str] = None,
 ) -> List[str]:
     """Fused greedy long-form decode of SEVERAL utterances, pipelined.
 
@@ -236,7 +260,9 @@ def transcribe_long_batch(
     signal_sr: native sample rate of `signals` if it differs from the
     model's — resampling then happens ON DEVICE. int16 PCM arrays are
     uploaded as-is and converted on device (4x fewer bytes than host-
-    resampled float32 for 8 kHz PCM).
+    resampled float32 for 8 kHz PCM). uint8 arrays are G.711 wire bytes
+    (pass signal_encoding='ulaw'/'alaw'): decoded on device, 8x fewer
+    bytes — the native format of telephony sources.
     """
     import jax.numpy as jnp
 
@@ -250,12 +276,14 @@ def transcribe_long_batch(
     pending = []                                   # (index, device packed)
     for i, signal in enumerate(signals):
         prep = None if decoder != "greedy" else _prep_longform(
-            transcriber, signal, signal_sr, chunk, overlap)
+            transcriber, signal, signal_sr, chunk, overlap,
+            signal_encoding)
         if prep is None:
             out[i] = transcribe_long(transcriber, signal,
                                      chunk_seconds=chunk_seconds,
                                      overlap_seconds=overlap_seconds,
-                                     signal_sr=signal_sr)
+                                     signal_sr=signal_sr,
+                                     signal_encoding=signal_encoding)
             continue
         n_spans, flat, last_len, in_sr, in_dtype = prep
         fn = _longform_program(transcriber, n_spans, chunk, overlap,
@@ -278,17 +306,19 @@ def transcribe_long(
     chunk_seconds: float = 15.0,
     overlap_seconds: float = 2.0,
     signal_sr: Optional[int] = None,
+    signal_encoding: Optional[str] = None,
 ) -> str:
     """Chunked long-form transcription through a Transcriber.
 
-    signal_sr/int16 inputs behave as in transcribe_long_batch (device-side
-    resample + PCM conversion on the fused path; host-side on fallbacks).
-    """
+    signal_sr/int16/uint8-G.711 inputs behave as in transcribe_long_batch
+    (device-side resample + PCM/G.711 conversion on the fused path;
+    host-side on fallbacks)."""
     chunk, overlap, _ = _longform_grid(transcriber, chunk_seconds,
                                        overlap_seconds)
     opts = getattr(transcriber, "opts", None)
     decoder = opts.decoder if opts is not None else "greedy"
-    prep = _prep_longform(transcriber, signal, signal_sr, chunk, overlap)
+    prep = _prep_longform(transcriber, signal, signal_sr, chunk, overlap,
+                          signal_encoding)
     if prep is not None:
         import jax.numpy as jnp
 
@@ -311,7 +341,16 @@ def transcribe_long(
         total = int(total)
     else:
         # fallback paths take model-rate float32: convert on host
-        if signal.dtype == np.int16:
+        if signal.dtype == np.uint8:
+            from vietasr_tpu.audio.g711 import alaw_decode, ulaw_decode
+
+            dec = ulaw_decode if signal_encoding == "ulaw" else alaw_decode
+            if signal_encoding not in ("ulaw", "alaw"):
+                raise ValueError(
+                    "uint8 signals are G.711 wire bytes; pass "
+                    "signal_encoding='ulaw' or 'alaw'")
+            signal = dec(signal).astype(np.float32) / 32768.0
+        elif signal.dtype == np.int16:
             signal = signal.astype(np.float32) / 32768.0
         sr = transcriber.cfg.featurizer.sample_rate
         if signal_sr is not None and signal_sr != sr:
