@@ -61,6 +61,52 @@ def test_streaming_session(server):
         or final.startswith("".join(partials))
 
 
+def test_streaming_session_ulaw_wire(server):
+    """Same session over the 8-bit G.711 mu-law wire ({"encoding":
+    "ulaw"}): half the upstream bytes, decoded on the accelerator. The
+    final transcript must match a PCM16 session over the identical
+    (mu-law-quantized) audio."""
+    import websockets
+
+    from vietasr_tpu.audio.g711 import ulaw_decode, ulaw_encode
+
+    rng = np.random.RandomState(3)
+    sig = (rng.randn(16000) * 0.1).astype(np.float32)
+    codes = ulaw_encode(sig)
+    pcm = ulaw_decode(codes).tobytes()
+
+    async def run(first_msg, payload):
+        final = None
+        async with websockets.connect("ws://127.0.0.1:18502") as ws:
+            await ws.send(json.dumps(first_msg))
+            assert json.loads(await ws.recv()).get("ready")
+            for i in range(0, len(payload), 5000):
+                await ws.send(payload[i:i + 5000])
+            await ws.send(json.dumps({"type": "end"}))
+            while True:
+                msg = json.loads(await ws.recv())
+                if "final" in msg:
+                    return msg["final"]
+
+    f_ulaw = asyncio.run(run({"mode": "stream", "encoding": "ulaw"},
+                             codes.tobytes()))
+    f_pcm = asyncio.run(run({"mode": "stream"}, pcm))
+    assert f_ulaw == f_pcm
+
+
+def test_streaming_rejects_unknown_encoding(server):
+    import websockets
+
+    async def run():
+        async with websockets.connect("ws://127.0.0.1:18502") as ws:
+            await ws.send(json.dumps({"mode": "stream",
+                                      "encoding": "opus"}))
+            return json.loads(await ws.recv())
+
+    msg = asyncio.run(run())
+    assert "unsupported encoding" in msg.get("error", "")
+
+
 def test_streaming_rejected_when_slots_busy(server):
     import websockets
 

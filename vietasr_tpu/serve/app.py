@@ -145,7 +145,8 @@ class AsrServer:
                 if first and isinstance(message, str):
                     obj = json.loads(message)
                     if obj.get("mode") == "stream":
-                        await self._stream_session(websocket)
+                        await self._stream_session(
+                            websocket, obj.get("encoding", "pcm16"))
                         return
                 first = False
                 if isinstance(message, bytes):
@@ -159,14 +160,22 @@ class AsrServer:
             except Exception as e:  # noqa: BLE001
                 await websocket.send(json.dumps({"error": str(e)}))
 
-    async def _stream_session(self, websocket):
-        """Real-time session: client sends raw 16 kHz PCM16 binary frames;
-        server answers {"partial": ...} per chunk and {"final": ...} on
-        {"type": "end"}. Requires a StreamPool (serve --streaming)."""
+    async def _stream_session(self, websocket, encoding: str = "pcm16"):
+        """Real-time session: client sends raw 16 kHz binary frames —
+        PCM16 by default, or 8-bit G.711 mu-law when the opening message
+        carries {"encoding": "ulaw"} (half the upstream bytes; decoded on
+        the accelerator). Server answers {"partial": ...} per chunk and
+        {"final": ...} on {"type": "end"}. Requires a StreamPool
+        (serve --streaming)."""
         if self.stream_pool is None:
             await websocket.send(json.dumps(
                 {"error": "streaming disabled; start the server with a "
                           "stream pool"}))
+            return
+        if encoding not in ("pcm16", "ulaw"):
+            await websocket.send(json.dumps(
+                {"error": f"unsupported encoding {encoding!r} "
+                          "(pcm16 or ulaw)"}))
             return
         slot = self.stream_pool.open()
         if slot is None:
@@ -174,7 +183,12 @@ class AsrServer:
                                              "busy"}))
             return
         loop = asyncio.get_event_loop()
-        chunk_bytes = self.stream_pool.chunk_samples * 2
+        ulaw = encoding == "ulaw"
+        bytes_per = 1 if ulaw else 2
+        pad_byte = b"\xff" if ulaw else b"\x00"    # mu-law code for 0
+        parse = (lambda b: np.frombuffer(b, np.uint8)) if ulaw \
+            else (lambda b: np.frombuffer(b, "<i2"))
+        chunk_bytes = self.stream_pool.chunk_samples * bytes_per
         buf = b""
         await websocket.send(json.dumps({"ready": True, "slot": slot}))
         try:
@@ -187,8 +201,9 @@ class AsrServer:
                 buf += message
                 while len(buf) >= chunk_bytes:
                     raw, buf = buf[:chunk_bytes], buf[chunk_bytes:]
-                    # int16 passes through to the pool (scaled on device)
-                    samples = np.frombuffer(raw, "<i2")
+                    # int16/mu-law pass through to the pool (decoded and
+                    # scaled on device)
+                    samples = parse(raw)
                     out = await loop.run_in_executor(
                         None, self.stream_pool.feed, {slot: samples})
                     if out.get(slot):
@@ -198,8 +213,8 @@ class AsrServer:
             # emissions surfaced here are still partials the client must
             # see, or its reconstructed line diverges from the final
             if buf:
-                pad = buf + b"\x00" * (chunk_bytes - len(buf))
-                samples = np.frombuffer(pad, "<i2")
+                pad = buf + pad_byte * (chunk_bytes - len(buf))
+                samples = parse(pad)
                 out = await loop.run_in_executor(
                     None, self.stream_pool.feed, {slot: samples})
                 if out.get(slot):
