@@ -123,6 +123,32 @@ def test_pool_ulaw_wire_format_matches_int16(pool_setup):
     pool.close(si)
 
 
+def test_pool_alaw_wire_format(pool_setup):
+    from vietasr_tpu.audio.g711 import alaw_decode, alaw_encode
+
+    cfg, ot = pool_setup
+    pool = StreamPool(ot, slots=2, chunk_samples=3200,
+                      wire_encoding="alaw")
+    rng = np.random.RandomState(11)
+    codes = alaw_encode((rng.randn(6400) * 3000).astype(np.int16))
+    pcm = alaw_decode(codes)
+
+    su = pool.open()
+    for i in range(0, 6400, 3200):
+        pool.feed({su: codes[i:i + 3200]})
+    ids_u = list(pool.decoders[su].ids)
+    pool.close(su)
+
+    si = pool.open()
+    for i in range(0, 6400, 3200):
+        pool.feed({si: pcm[i:i + 3200]})
+    assert pool.decoders[si].ids == ids_u
+    pool.close(si)
+
+    with pytest.raises(ValueError, match="wire_encoding"):
+        StreamPool(ot, slots=1, wire_encoding="opus")
+
+
 def test_pool_beam_decoder_with_word_lm(pool_setup, tmp_path):
     """decoder='beam' + lm_path must reach the per-slot IncrementalBeam
     (the CLI serve path: --stream-decoder beam --lm-path ...)."""

@@ -91,7 +91,11 @@ class StreamPool:
     def __init__(self, transcriber: OnlineTranscriber, *, slots: int = 8,
                  chunk_samples: int = 3200, decoder: str = "greedy",
                  lm_path: Optional[str] = None, beam_width: int = 16,
-                 lm_alpha: float = 0.5, lm_beta: float = 1.5):
+                 lm_alpha: float = 0.5, lm_beta: float = 1.5,
+                 wire_encoding: str = "ulaw"):
+        if wire_encoding not in ("ulaw", "alaw"):
+            raise ValueError("wire_encoding must be 'ulaw' or 'alaw'")
+        self.wire_encoding = wire_encoding   # decode law for uint8 chunks
         self.ot = transcriber
         self.slots = slots
         required = getattr(transcriber, "required_chunk_samples", None)
@@ -113,12 +117,16 @@ class StreamPool:
         # costs one dispatch each on a remote-attached chip.
         def pool_step(states, batch, fed):
             if batch.dtype == jnp.uint8:
-                # G.711 mu-law wire format: 8x fewer host->device bytes
-                # than f32 (the link, not compute, bounds multi-stream
+                # G.711 wire format (mu-law by default, A-law via
+                # wire_encoding="alaw"): 8x fewer host->device bytes than
+                # f32 (the link, not compute, bounds multi-stream
                 # serving); decoded on chip
-                from vietasr_tpu.ops.g711 import ulaw_decode_f32
+                from vietasr_tpu.ops.g711 import (alaw_decode_f32,
+                                                  ulaw_decode_f32)
 
-                batch = ulaw_decode_f32(batch)
+                dec = alaw_decode_f32 if self.wire_encoding == "alaw" \
+                    else ulaw_decode_f32
+                batch = dec(batch)
             elif batch.dtype == jnp.int16:
                 # int16 wire format: 4x fewer host->device bytes than f32
                 batch = batch.astype(jnp.float32) / 32768.0
@@ -203,14 +211,16 @@ class StreamPool:
         u8 = bool(arrs) and all(a.dtype == np.uint8 for a in arrs.values())
         wire = np.uint8 if u8 else np.int16 if i16 else np.float32
         batch = np.zeros((self.slots, self.chunk_samples), wire)
-        if u8:
-            batch[:] = 0xFF                         # mu-law silence code
+        if u8:                                      # G.711 code for 0
+            batch[:] = 0xFF if self.wire_encoding == "ulaw" else 0xD5
         fed = np.zeros((self.slots,), bool)
         for slot, chunk in arrs.items():
             if chunk.dtype == np.uint8 and not u8:
-                from vietasr_tpu.audio.g711 import ulaw_decode
+                from vietasr_tpu.audio.g711 import alaw_decode, ulaw_decode
 
-                chunk = ulaw_decode(chunk).astype(np.float32) / 32768.0
+                dec = alaw_decode if self.wire_encoding == "alaw" \
+                    else ulaw_decode
+                chunk = dec(chunk).astype(np.float32) / 32768.0
             if chunk.dtype == np.int16 and not i16:
                 chunk = chunk.astype(np.float32) / 32768.0
             if chunk.dtype not in (np.int16, np.uint8):
