@@ -295,7 +295,8 @@ def measure_int8_greedy(config_path, batch=BATCH):
 # config 2: + on-device word-LM beam search (end to end)
 
 
-def measure_word_lm_beam(batch=BATCH):
+def measure_word_lm_beam(batch=BATCH, beam_width=16, cutoff_top_n=8,
+                         iters=3):
     import tempfile
 
     import jax
@@ -330,20 +331,31 @@ def measure_word_lm_beam(batch=BATCH):
             compute_dtype=jnp.bfloat16)
         return log_probs, enc_lens
 
+    from vietasr_tpu.ops.device_beam import (PALLAS_MAX_BEAM_WIDTH,
+                                             device_beam_search)
+
     def e2e(signal, lengths):
         log_probs, enc_lens = fwd(variables, signal, lengths)
-        # fused Pallas beam kernel (ops/pallas_beam.py) — output-identical
-        # to the XLA scan path, ~1.9x faster
-        return pallas_beam_search(
-            log_probs, enc_lens, beam_width=16, blank=cfg.num_classes,
-            dense_lm=dense_lm, unk_logp=unk, space=space,
-            alpha=0.5, beta=1.5, cutoff_top_n=8)
+        if beam_width <= PALLAS_MAX_BEAM_WIDTH:
+            # fused Pallas beam kernel (ops/pallas_beam.py) —
+            # output-identical to the XLA scan path, ~1.9x faster
+            return pallas_beam_search(
+                log_probs, enc_lens, beam_width=beam_width,
+                blank=cfg.num_classes, dense_lm=dense_lm, unk_logp=unk,
+                space=space, alpha=0.5, beta=1.5,
+                cutoff_top_n=cutoff_top_n)
+        # wide beams: the XLA scan path (HBM-backed, W-unbounded)
+        return device_beam_search(
+            log_probs, enc_lens, blank=cfg.num_classes,
+            beam_width=beam_width, cutoff_top_n=cutoff_top_n,
+            word_lm=tables, wlm_probes=probes, space=space,
+            alpha=0.5, beta=1.5)
 
     rng = np.random.RandomState(0)
     signal = jnp.asarray(rng.randn(batch, SECONDS * SR).astype(np.float32)
                          * 0.1)
     lengths = jnp.asarray(np.full((batch,), SECONDS * SR, np.int32))
-    dt = _timeit(lambda s, l: e2e(s, l)[0], signal, lengths, iters=3)
+    dt = _timeit(lambda s, l: e2e(s, l)[0], signal, lengths, iters=iters)
     return batch * SECONDS / dt
 
 
@@ -632,8 +644,17 @@ def main():
     beam = measure_word_lm_beam()
     emit("word_lm_beam_throughput_quartznet12x1_vi", beam, "audio-s/s",
          vs_baseline=beam / baseline,
-         config="on-device Katz 3-gram word LM, W=16 cutoff=8 "
-                "alpha=0.5 beta=1.5 (reference deploy shape, infer.py:64-67)")
+         config="on-device Katz 3-gram word LM, W=16 cutoff=8 alpha=0.5 "
+                "beta=1.5 (our serving default; fused Pallas kernel — "
+                "LM hyperparams per reference infer.py:64-67)")
+
+    beam100 = measure_word_lm_beam(beam_width=100, iters=2)
+    emit("word_lm_beam_w100_throughput_quartznet12x1_vi", beam100,
+         "audio-s/s", vs_baseline=beam100 / baseline,
+         config="W=100 — the reference's CLI deploy width "
+                "(infer.py:191; web uses 50, default 20) — via the "
+                "W-unbounded XLA scan path; reference beam is batch-1 "
+                "host-pinned")
 
     v15, mfu15 = measure_greedy(CONFIG_15x5, batch=64)
     emit("greedy_batched_quartznet15x5", v15, "audio-s/s",

@@ -59,6 +59,10 @@ NEG = -1e30
 # fixed cost amortizes with T). 2048 splits the difference; pass
 # impl="pallas"/"xla" to override per deployment.
 PALLAS_WLM_MAX_ROWS = 2048
+# widest beam the fused kernel compiles at (W=32 measured good, W=50
+# crashes Mosaic — the (W, W, K, B) merge temporaries); wider beams
+# auto-route to the XLA scan, which is HBM-backed and W-unbounded
+PALLAS_MAX_BEAM_WIDTH = 32
 _HASH_P1 = jnp.uint32(1000003)
 _HASH_P2 = jnp.uint32(69069)
 
@@ -617,6 +621,10 @@ def device_beam_transcripts(log_probs, lengths, labels, *, impl="auto",
     eligible = (kwargs.get("lm_table") is None
                 and kwargs.get("space", -1) >= 0
                 and kwargs.get("cutoff_top_n", 0) > 0
+                # the kernel's (W, W, K, B) merge temporaries blow VMEM /
+                # crash Mosaic past W~32 (W=32 compiles and runs, W=50
+                # does not); wide beams route to the XLA scan
+                and kwargs.get("beam_width", 16) <= PALLAS_MAX_BEAM_WIDTH
                 and (word_lm is None
                      or int(word_lm.packed.shape[0]) <= PALLAS_WLM_MAX_ROWS))
     use_pallas = impl == "pallas" or (
