@@ -193,6 +193,47 @@ def test_conformer_stream_pool():
     pool.close(sb)
 
 
+def test_conformer_stream_pool_beam_decoder(tmp_path):
+    """The CLI serve path `--stream-decoder beam --lm-path ...` on a
+    CONFORMER pool: per-slot IncrementalBeam over the pooled chunked-causal
+    encoder equals the same beam decoder driven on the single-stream
+    transcriber's log-probs (decoder choice is architecture-independent)."""
+    from vietasr_tpu.ops.lm import NGramLM, train_ngram_arpa
+    from vietasr_tpu.serve.streams import IncrementalBeam, StreamPool
+    from vietasr_tpu.streaming_conformer import ConformerOnlineTranscriber
+
+    cfg = make_raw_cfg()
+    variables = model_init(jax.random.PRNGKey(5), cfg)
+    ot = ConformerOnlineTranscriber(cfg, variables, causal_norm=False)
+
+    arpa = tmp_path / "w.arpa"
+    train_ngram_arpa(["a b a", "b a b", "a a b"] * 3, str(arpa),
+                     order=3, char_level=False)
+    pool = StreamPool(ot, slots=2, decoder="beam", lm_path=str(arpa),
+                      beam_width=6, lm_alpha=0.4, lm_beta=1.0)
+
+    rng = np.random.RandomState(5)
+    cs = ot.required_chunk_samples
+    chunks = [(rng.randn(cs) * 0.1).astype(np.float32) for _ in range(4)]
+
+    # reference: same incremental beam fed the single-stream log-probs
+    # (prefix frames already dropped by ot.stream, as the pool does)
+    ref = IncrementalBeam(cfg.labels, cfg.num_classes, beam_width=6,
+                          lm=NGramLM(str(arpa)), alpha=0.4, beta=1.0)
+    ref.feed(ot.stream(chunks))
+
+    s = pool.open()
+    assert isinstance(pool.decoders[s], IncrementalBeam)
+    pieces = [pool.feed({s: c})[s] for c in chunks]
+    assert pool.decoders[s]._dec.best() == ref._dec.best()
+    # \r-revision framing reassembles to the decoder's final hypothesis
+    final = ""
+    for piece in pieces:
+        final = piece[1:] if piece.startswith("\r") else final + piece
+    assert final == pool.decoders[s]._emitted
+    pool.close(s)
+
+
 def test_full_context_unaffected_by_flag_default():
     """chunk_size=0 (default) keeps the original full-context behavior:
     symmetric subsample padding and full attention — regression guard
