@@ -151,23 +151,30 @@ def test_word_lm_score_matches_ngram_lm(word_lm):
     words = ["ab", "ba", "cab", "c", "bbb"]          # bbb is OOV
     ctxs = [(), ("ab",), ("ba",), ("cab", "ab"), ("ab", "ba"),
             ("bbb",), ("bbb", "ab")]
-    fn = jax.jit(lambda *a: _word_lm_score(tables, probes, *a)[0])
+    n_ctxw = 2     # order 3
+
+    def fn(ctx_pairs, wh, bos):
+        return _word_lm_score(
+            tables, probes,
+            [(jnp.asarray(a)[None], jnp.asarray(b)[None])
+             for a, b in ctx_pairs],
+            jnp.asarray(wh[0])[None], jnp.asarray(wh[1])[None],
+            [jnp.asarray(np.float32(b))[None] for b in bos])[0]
+
     for ctx in ctxs:
         for w in words:
-            c2 = whash(ctx[0]) if len(ctx) == 2 else (np.uint32(0),) * 2
-            c1 = whash(ctx[-1]) if ctx else (np.uint32(0),) * 2
+            # ctx pairs most-recent-first, zero-padded to n_ctxw
+            pairs = [whash(c) for c in reversed(ctx)]
+            pairs += [(np.uint32(0),) * 2] * (n_ctxw - len(pairs))
             wh = whash(w)
             # the search carries the context backoff weights as state;
             # here they come straight from the ARPA entries
-            bo1 = word_lm.ngrams.get((ctx[-1],), (0.0, 0.0))[1] \
-                if ctx else 0.0
-            bo2 = word_lm.ngrams.get(ctx, (0.0, 0.0))[1] \
-                if len(ctx) == 2 else 0.0
-            got = float(fn(jnp.asarray(c2[0])[None], jnp.asarray(c2[1])[None],
-                           jnp.asarray(c1[0])[None], jnp.asarray(c1[1])[None],
-                           jnp.asarray(wh[0])[None], jnp.asarray(wh[1])[None],
-                           jnp.asarray(np.float32(bo1))[None],
-                           jnp.asarray(np.float32(bo2))[None])[0])
+            bos = []
+            for j in range(1, n_ctxw + 1):
+                g = tuple(ctx[-j:]) if len(ctx) >= j else None
+                bos.append(word_lm.ngrams.get(g, (0.0, 0.0))[1]
+                           if g else 0.0)
+            got = float(fn(pairs, wh, bos)[0])
             want = word_lm.log_prob(w, ctx)
             assert abs(got - want) < 1e-4, (ctx, w, got, want)
 
@@ -190,6 +197,41 @@ def test_device_beam_word_lm_matches_oracle(seed, word_lm):
         word_lm=tables, wlm_probes=probes, space=labels.index(" "),
         alpha=0.5, beta=1.5)[0]
     assert " ".join(got.split()) == want, (got, want)
+
+
+@pytest.mark.parametrize("order", [2, 4, 5])
+def test_device_beam_word_lm_higher_orders(order):
+    """On-device fusion at the reference's full artifact range (3/4/5-gram
+    KenLM binaries, .MISSING_LARGE_BLOBS:4-6): device transcripts ==
+    Python prefix-beam oracle with the same higher-order ARPA."""
+    import tempfile
+
+    from vietasr_tpu.ops.lm import word_lm_tables
+
+    corpus = ["ab cab ba c", "ab ba cab ba", "cab ab ba c ab",
+              "ba cab ab ba", "c ab ba cab", "ab ba c cab ab"] * 2
+    with tempfile.TemporaryDirectory() as td:
+        arpa = f"{td}/word{order}.arpa"
+        train_ngram_arpa(corpus, arpa, order=order, char_level=False)
+        lm = NGramLM(arpa)
+    assert lm.order == order
+    labels = ["a", "b", "c", " "]
+    tables, probes = word_lm_tables(lm, labels)
+    assert tables.masks.shape[0] == order
+    for seed in range(3):
+        rng = np.random.RandomState(300 + seed)
+        t = 16
+        lp = softmax_logs(rng, t, 5, scale=1.8)
+        # matched widths: at W=64 both sides commit the same search error
+        # on this corpus, so only scoring differences could diverge them
+        want = prefix_beam_search(lp, labels, beam_width=64, lm=lm,
+                                  alpha=0.5, beta=1.5,
+                                  token_min_logp=-50.0)
+        got = device_beam_transcripts(
+            lp[None], np.array([t]), labels, beam_width=64, impl="xla",
+            word_lm=tables, wlm_probes=probes, space=labels.index(" "),
+            alpha=0.5, beta=1.5)[0]
+        assert " ".join(got.split()) == want, (seed, got, want)
 
 
 def test_device_beam_word_lm_batched(word_lm):

@@ -105,6 +105,58 @@ def test_pallas_matches_host_oracle_word_lm(word_lm):
     assert " ".join(got.split()) == want
 
 
+@pytest.mark.parametrize("width", [12, 50, 100])
+def test_pallas_matches_xla_wide_and_unaligned_widths(width, word_lm):
+    """The reference's deploy widths (W=100 CLI infer.py:191, W=50 web
+    app.py:27) and non-8-multiple widths must route through the blocked
+    wide-W kernel paths and still match the XLA scan exactly."""
+    tables, probes = word_lm_tables(word_lm, LABELS)
+    unk = float(np.asarray(tables.unk_logp))
+    dense = dense_lm_from_tables(tables, unk)
+    rng = np.random.RandomState(900 + width)
+    t, v1 = 12, 5
+    lp = np.stack([softmax_logs(rng, t, v1, scale=1.5) for _ in range(2)])
+    lens = np.array([t, 8])
+    assert_same_decode(*run_both(
+        lp, lens, dense=dense, tables=tables, probes=probes,
+        beam_width=width, cutoff_top_n=3, space=SPACE,
+        alpha=0.5, beta=1.5, unk_logp=unk))
+
+
+@pytest.mark.parametrize("order", [2, 4, 5])
+def test_pallas_matches_xla_higher_orders(order, tmp_path):
+    """Fused-kernel word-LM fusion at the reference's 4/5-gram artifact
+    orders (.MISSING_LARGE_BLOBS:4-6) stays bit-identical to the XLA
+    scan."""
+    corpus = ["ab cab ba c", "ab ba cab ba", "cab ab ba c ab",
+              "ba cab ab ba", "c ab ba cab", "ab ba c cab ab"] * 2
+    p = tmp_path / f"word{order}.arpa"
+    train_ngram_arpa(corpus, str(p), order=order, char_level=False)
+    lm = NGramLM(str(p))
+    tables, probes = word_lm_tables(lm, LABELS)
+    unk = float(np.asarray(tables.unk_logp))
+    dense = dense_lm_from_tables(tables, unk)
+    assert dense.order == order
+    rng = np.random.RandomState(500 + order)
+    t, v1 = 14, 5
+    lp = np.stack([softmax_logs(rng, t, v1, scale=1.8) for _ in range(2)])
+    lens = np.array([t, 9])
+    assert_same_decode(*run_both(
+        lp, lens, dense=dense, tables=tables, probes=probes,
+        beam_width=16, cutoff_top_n=4, space=SPACE,
+        alpha=0.5, beta=1.5, unk_logp=unk))
+
+
+@pytest.mark.parametrize("width", [48, 100])
+def test_pallas_wide_no_lm(width):
+    rng = np.random.RandomState(width)
+    t, v1 = 10, 5
+    lp = np.stack([softmax_logs(rng, t, v1) for _ in range(2)])
+    lens = np.array([t, t - 3])
+    assert_same_decode(*run_both(
+        lp, lens, beam_width=width, cutoff_top_n=3, space=SPACE))
+
+
 def test_pallas_short_lengths_frozen():
     """Frames beyond each utterance's length must not change its beam."""
     rng = np.random.RandomState(5)

@@ -1,7 +1,8 @@
 """Verify a TRAINED chunked-causal streaming Conformer end to end.
 
 Closes the round-2 gap "trained streaming-conformer quality": after
-`tools/real_speech_run.py --config configs/conformer_ctc_vi_streaming.yaml`
+`tools/real_speech_run.py --config configs/conformer_ctc_vi_streaming.yaml
+--work-dir work/real_speech_streaming`
 has trained the streaming model on the 13 bundled real wavs, this drives
 the REAL-TIME runtime (streaming_conformer.ConformerOnlineTranscriber:
 stateful featurizer with causal running-stats normalization + exact
@@ -51,7 +52,13 @@ def main():
     from vietasr_tpu.train.metrics import word_error_rate
 
     manifest = os.path.join(args.work_dir, "real_speech_manifest.json")
-    entries = [json.loads(l) for l in open(manifest, encoding="utf-8")]
+    if not os.path.exists(manifest):
+        raise FileNotFoundError(
+            f"{manifest} not found — train first with "
+            f"tools/real_speech_run.py --config {args.config} "
+            f"--work-dir {args.work_dir}")
+    with open(manifest, encoding="utf-8") as f:
+        entries = [json.loads(l) for l in f]
 
     cfg = load_config(args.config)
     template = model_init(jax.random.PRNGKey(0), cfg)

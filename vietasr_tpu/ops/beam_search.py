@@ -197,7 +197,26 @@ class BeamSearchDecoderLM:
         self.alpha = alpha
         self.beta = beta
         self.beam_width = beam_width
-        self.lm = NGramLM(lm_path) if lm_path else None
+        self.lm = None
+        if lm_path:
+            from vietasr_tpu.ops.kenlm_binary import is_kenlm_binary
+            from vietasr_tpu.ops.lm import load_lm
+
+            self.lm = load_lm(lm_path)
+            if is_kenlm_binary(lm_path):
+                # the C++ tier parses ARPA text; spill the reconstructed
+                # model so KenLM `.binary` deployments (the reference's
+                # artifact format, beam_search_decoder.py:82-87) ride the
+                # same native hot path
+                import tempfile
+
+                from vietasr_tpu.ops.lm import write_arpa
+
+                spill = tempfile.NamedTemporaryFile(
+                    suffix=".arpa", delete=False)
+                spill.close()
+                write_arpa(self.lm, spill.name)
+                lm_path = spill.name
         self._native = None
         if use_native:
             try:

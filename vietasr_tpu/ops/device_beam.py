@@ -29,12 +29,14 @@ TPU-first design notes:
 - char-level n-gram LM shallow fusion reads a dense backoff table
   (ops/lm.py:char_lm_table) with one gather per step;
 - WORD-level n-gram LM shallow fusion (the reference's production decode:
-  KenLM word 3-gram, alpha=0.5 beta=1.5, infer.py:64-67) runs on device
+  KenLM word 3/4/5-gram, alpha=0.5 beta=1.5, infer.py:64-67 +
+  .MISSING_LARGE_BLOBS:4-6) runs on device
   against hashed open-addressing tables (ops/lm.py:word_lm_tables) living
   in HBM. Each beam carries rolling hashes of its partial word and of the
   last two completed words; when a beam extends with the space character
   the completed word is scored with full Katz backoff
-  (trigram -> bo+bigram -> bo+unigram -> <unk>) via a handful of (B, W)
+  (5-gram -> ... -> bo+bigram -> bo+unigram -> <unk>, order-deep Katz
+  chain) via a handful of (B, W)
   gather probes per step. Semantics match ops/beam_search.py's Python
   oracle exactly, including the trailing-partial-word score at the end.
 
@@ -59,16 +61,27 @@ NEG = -1e30
 # fixed cost amortizes with T). 2048 splits the difference; pass
 # impl="pallas"/"xla" to override per deployment.
 PALLAS_WLM_MAX_ROWS = 2048
-# widest beam the fused kernel compiles at (W=32 measured good, W=50
-# crashes Mosaic — the (W, W, K, B) merge temporaries); wider beams
-# auto-route to the XLA scan, which is HBM-backed and W-unbounded
-PALLAS_MAX_BEAM_WIDTH = 32
+# widest beam auto-routed to the fused kernel. The round-2 kernel crashed
+# Mosaic past W=32 (its (W, W, K, B) merge temporaries); the kernel now
+# (a) merges in O(W^2) — a stay can only absorb extensions of its own
+# last char — in 8-parent blocks, and (b) selects the top W by a
+# threshold search + MXU-cumsum ranks instead of W sequential passes, so
+# it compiles and runs at the reference's deploy widths (infer.py:191
+# W=100, app.py:27 W=50). 128 is a routing cap, not a compile limit;
+# beyond it the per-step W^2 VPU work makes the XLA scan competitive.
+PALLAS_MAX_BEAM_WIDTH = 128
 _HASH_P1 = jnp.uint32(1000003)
 _HASH_P2 = jnp.uint32(69069)
 
 
+# widest n-gram order the on-device word-LM fusion supports — covers the
+# reference's full artifact set (3/4/5-gram KenLM binaries,
+# /root/reference/.MISSING_LARGE_BLOBS:4-6)
+MAX_WLM_ORDER = 5
+
+
 class WordLMTables(NamedTuple):
-    """Hashed n-gram tables for on-device word-LM fusion (order <= 3).
+    """Hashed n-gram tables for on-device word-LM fusion (order <= 5).
 
     Built by ops/lm.py:word_lm_tables. Every level is an open-addressing
     hash table (linear probing, power-of-two size, key 0 = empty slot)
@@ -76,22 +89,19 @@ class WordLMTables(NamedTuple):
     word hashes. `probes` (static) bounds the probe chain: the builder
     records the worst displacement at insert time.
 
-    All three levels live INTERLEAVED in one (N, 4) uint32 array —
+    All L levels live INTERLEAVED in one (N, 4) uint32 array —
     [key1, key2, logp_bits, backoff_bits] per row — so one beam-search
     step fetches every probe of every backoff chain with a SINGLE gather
     (the previous layout's ~40 tiny gathers per step were 6x the cost of
     the rest of the step combined). Natural-log prob/backoff are bitcast
-    f32. Level placement: rows [0, uni_size) unigrams, then bigrams, then
-    trigrams; masks/bases are device scalars (uint32).
+    f32. Level placement: rows [bases[j], bases[j] + masks[j] + 1) hold
+    the (j+1)-grams; masks/bases are (L,) uint32 device arrays, so the
+    LM order is static via masks.shape[0].
     """
 
     packed: jnp.ndarray        # (N, 4) uint32
-    uni_mask: jnp.ndarray      # () uint32: uni_size - 1
-    bi_mask: jnp.ndarray
-    tri_mask: jnp.ndarray
-    uni_base: jnp.ndarray      # () uint32 row offsets
-    bi_base: jnp.ndarray
-    tri_base: jnp.ndarray
+    masks: jnp.ndarray         # (L,) uint32: level_size - 1
+    bases: jnp.ndarray         # (L,) uint32 row offsets
     unk_logp: jnp.ndarray      # scalar f32: <unk> logp (or -5e29 floor)
 
 
@@ -114,45 +124,48 @@ def _fold_key(seed1, seed2, h1, h2):
 
 
 def _word_lm_score(tables: WordLMTables, probes: int,
-                   c2h1, c2h2, c1h1, c1h2, wh1, wh2, c1_bo, ctx_bo,
+                   ctx, wh1, wh2, bo_carries,
                    dense: bool = False):
-    """alpha-less natural-log p(word | c2 c1) with Katz backoff.
+    """alpha-less natural-log p(word | c_{L-1} ... c_1) with Katz backoff.
 
-    Word/context identified by rolling hashes; hash 0 = absent (empty
-    context slot / empty partial word — caller masks that case).
-    Mirrors ops/lm.py:NGramLM._score for order<=3. A 2-gram LM needs no
-    special casing: the trigram probe misses into an empty level and the
-    context backoff lands on the bigram line's stored 0.0.
+    `ctx` is a list of (h1, h2) context-word hash pairs, MOST RECENT
+    FIRST: ctx[0] = c_1 (previous word) ... ctx[L-2] = c_{L-1}. Hash 0 =
+    absent (empty context slot / empty partial word — caller masks that
+    case). Mirrors ops/lm.py:NGramLM._score for any order <= 5; lower-
+    order LMs need no special casing: higher chains probe into empty
+    levels and the context backoff lands on the stored 0.0.
 
-    The CONTEXT backoff weights bo(c1) and bo(c2 c1) are passed in, not
-    looked up: they only change when a beam completes a word, and at that
-    moment they sit in the very rows this function fetches for the new
-    word — the unigram(w) and bigram(c1 w) entries. The beam search
-    carries them as state, cutting the probe chains from 5 to 3. Returns
-    (logp, w_bo, cw_bo): the new word's own backoff weights, which become
-    the caller's carried (c1_bo, ctx_bo) when the word completes.
+    The CONTEXT backoff weights bo(c_1), bo(c_2 c_1), ... are passed in
+    (`bo_carries`, len L-1), not looked up: they only change when a beam
+    completes a word, and at that moment they sit in the very rows this
+    function fetches for the new word — the unigram(w), bigram(c_1 w),
+    ..., (L-1)-gram rows. The beam search carries them as state, keeping
+    the probe chains at L instead of 2L-1. Returns (logp, new_bos): the
+    new word's own per-chain backoff weights (len L-1), which become the
+    caller's carried `bo_carries` when the word completes.
 
-    The three chains (unigram, bigram, trigram) are fused into ONE gather
-    over the packed table: indices (..., 3, probes) ->
-    rows (..., 3, probes, 4); hit selection happens on the VPU afterwards.
+    All L chains are fused into ONE gather over the packed table:
+    indices (..., L, probes) -> rows (..., L, probes, 4); hit selection
+    happens on the VPU afterwards.
     """
     MIX = jnp.uint32(0x9E3779B9)
-    uk1, uk2 = _fold_key(_KEY_SEED, _KEY_SEED, wh1, wh2)
-    c1k1, c1k2 = _fold_key(_KEY_SEED, _KEY_SEED, c1h1, c1h2)
-    bk1, bk2 = _fold_key(c1k1, c1k2, wh1, wh2)
-    ctxk1, ctxk2 = _fold_key(*_fold_key(_KEY_SEED, _KEY_SEED, c2h1, c2h2),
-                             c1h1, c1h2)
-    tk1, tk2 = _fold_key(ctxk1, ctxk2, wh1, wh2)
-
-    # chains: 0=unigram(w) 1=bigram(c1 w) 2=trigram(c2 c1 w)
-    q1 = jnp.stack([uk1, bk1, tk1], axis=-1)                # (..., 3)
-    q2 = jnp.stack([uk2, bk2, tk2], axis=-1)
-    masks = jnp.stack([tables.uni_mask, tables.bi_mask, tables.tri_mask])
-    bases = jnp.stack([tables.uni_base, tables.bi_base, tables.tri_base])
+    n_levels = int(tables.masks.shape[0])
+    keys1, keys2 = [], []
+    for j in range(1, n_levels + 1):     # chain j = j-gram (c_{j-1}..c_1 w)
+        s1 = s2 = _KEY_SEED
+        for i in range(j - 1, 0, -1):    # fold oldest context first
+            s1, s2 = _fold_key(s1, s2, ctx[i - 1][0], ctx[i - 1][1])
+        k1, k2 = _fold_key(s1, s2, wh1, wh2)
+        keys1.append(k1)
+        keys2.append(k2)
+    q1 = jnp.stack(keys1, axis=-1)                           # (..., L)
+    q2 = jnp.stack(keys2, axis=-1)
+    masks = tables.masks
+    bases = tables.bases
     if dense:
         # small tables: a brute-force equality match against EVERY row
         # beats the probing gather by ~10x on TPU — XLA lowers the (B, W,
-        # 3, P, 4) open-addressing gather into a serial windowed loop plus
+        # L, P, 4) open-addressing gather into a serial windowed loop plus
         # layout copies (~210 us/step measured at B=128, W=16); the dense
         # compare + masked max is a handful of fused VPU passes. Each
         # chain may only match rows of its own level (key hashes of
@@ -161,12 +174,12 @@ def _word_lm_score(tables: WordLMTables, probes: int,
         row_id = jnp.arange(n, dtype=jnp.uint32)
         sizes = masks + 1
         level_ok = (row_id[None, :] >= bases[:, None]) \
-            & (row_id[None, :] < (bases + sizes)[:, None])   # (3, N)
+            & (row_id[None, :] < (bases + sizes)[:, None])   # (L, N)
         key1 = tables.packed[:, 0]
         key2 = tables.packed[:, 1]
         hit = (q1[..., None] == key1) & (q2[..., None] == key2) \
-            & level_ok & (q1[..., None] != 0)                # (..., 3, N)
-        any_hit = jnp.any(hit, axis=-1)                      # (..., 3)
+            & level_ok & (q1[..., None] != 0)                # (..., L, N)
+        any_hit = jnp.any(hit, axis=-1)                      # (..., L)
         logp_rows = jax.lax.bitcast_convert_type(
             tables.packed[:, 2], jnp.float32)
         bo_rows = jax.lax.bitcast_convert_type(
@@ -179,26 +192,28 @@ def _word_lm_score(tables: WordLMTables, probes: int,
         idx0 = (q1 ^ (q2 * MIX)) & masks
         offs = jnp.arange(probes, dtype=jnp.uint32)
         idx = bases[..., None] + ((idx0[..., None] + offs) & masks[..., None])
-        rows = tables.packed[idx.astype(jnp.int32)]          # (...,3,P,4)
+        rows = tables.packed[idx.astype(jnp.int32)]          # (...,L,P,4)
 
         hit = (rows[..., 0] == q1[..., None]) \
             & (rows[..., 1] == q2[..., None]) \
             & (q1[..., None] != 0)      # key 0 marks empty slots
-        any_hit = jnp.any(hit, axis=-1)                      # (..., 3)
-        first = jnp.argmax(hit, axis=-1)                     # (..., 3)
+        any_hit = jnp.any(hit, axis=-1)                      # (..., L)
+        first = jnp.argmax(hit, axis=-1)                     # (..., L)
         picked = jnp.take_along_axis(rows, first[..., None, None],
-                                     axis=-2)[..., 0, :]     # (..., 3, 4)
+                                     axis=-2)[..., 0, :]     # (..., L, 4)
         val = jax.lax.bitcast_convert_type(picked[..., 2], jnp.float32)
         bo = jax.lax.bitcast_convert_type(picked[..., 3], jnp.float32)
+        bo = jnp.where(any_hit, bo, 0.0)
 
     p = jnp.where(any_hit[..., 0], val[..., 0], tables.unk_logp)
-    p2 = jnp.where(any_hit[..., 1], val[..., 1], c1_bo + p)
-    p = jnp.where(c1h1 != 0, p2, p)
-    p3 = jnp.where(any_hit[..., 2], val[..., 2], ctx_bo + p)
-    p = jnp.where((c2h1 != 0) & (c1h1 != 0), p3, p)
-    w_bo = jnp.where(any_hit[..., 0], bo[..., 0], 0.0)
-    cw_bo = jnp.where(any_hit[..., 1], bo[..., 1], 0.0)
-    return p, w_bo, cw_bo
+    exists = None
+    for j in range(1, n_levels):
+        ex_j = ctx[j - 1][0] != 0
+        exists = ex_j if exists is None else exists & ex_j
+        pj = jnp.where(any_hit[..., j], val[..., j], bo_carries[j - 1] + p)
+        p = jnp.where(exists, pj, p)
+    new_bos = [bo[..., j] for j in range(n_levels - 1)]
+    return p, new_bos
 
 
 @partial(jax.jit, static_argnames=("beam_width", "blank", "max_len",
@@ -254,9 +269,18 @@ def device_beam_search(
     # bitcast): selection after top_k is then a SINGLE take_along_axis
     # instead of ~16 — on TPU each small gather op costs ~15 us inside a
     # scan step, and they, not the merge math, dominated the step.
+    # Trailing columns scale with the word-LM order: n_ctxw completed-word
+    # context hash pairs (most recent first) and n_ctxw carried Katz
+    # backoff weights (see _word_lm_score). Without a word LM only c_1 is
+    # tracked (the canonical-hash separator logic reads it).
+    wlm_levels = int(word_lm.masks.shape[0]) if word_lm is not None else 0
+    n_ctxw = max(wlm_levels - 1, 1)
+    n_bo = max(wlm_levels - 1, 0)
     (C_H1, C_H2, C_PB, C_PNB, C_LM, C_LAST, C_ROW, C_PLEN,
-     C_WH1, C_WH2, C_C1H1, C_C1H2, C_C2H1, C_C2H2, C_BO1, C_BO2) = range(16)
-    n_cols = 16
+     C_WH1, C_WH2) = range(10)
+    C_CTX = 10                       # pairs: c_j at (C_CTX+2j, C_CTX+2j+1)
+    C_BO = C_CTX + 2 * n_ctxw
+    n_cols = C_BO + n_bo
 
     def f2u(x):
         return jax.lax.bitcast_convert_type(x, jnp.uint32)
@@ -280,8 +304,8 @@ def device_beam_search(
                                         zero_bits, neg_bits))
     st0 = st0.at[:, C_PNB].set(neg_bits)
     st0 = st0.at[:, C_LM].set(zero_bits)
-    st0 = st0.at[:, C_BO1].set(zero_bits)
-    st0 = st0.at[:, C_BO2].set(zero_bits)
+    for j in range(n_bo):
+        st0 = st0.at[:, C_BO + j].set(zero_bits)
     # C_LAST stores last+1 (0 = none yet); word/context hashes start 0
     st = jnp.broadcast_to(st0[None], (bsz, w, n_cols))
 
@@ -307,12 +331,10 @@ def device_beam_search(
         plen = st[..., C_PLEN].astype(jnp.int32)
         wh1 = st[..., C_WH1]
         wh2 = st[..., C_WH2]
-        c1h1 = st[..., C_C1H1]
-        c1h2 = st[..., C_C1H2]
-        c2h1 = st[..., C_C2H1]
-        c2h2 = st[..., C_C2H2]
-        bo1 = u2f(st[..., C_BO1])
-        bo2 = u2f(st[..., C_BO2])
+        ctx = [(st[..., C_CTX + 2 * j], st[..., C_CTX + 2 * j + 1])
+               for j in range(n_ctxw)]
+        bos = [u2f(st[..., C_BO + j]) for j in range(n_bo)]
+        c1h1, c1h2 = ctx[0]
 
         lp = log_probs[:, t]                                # (B, V+1)
         p_tot = _logsumexp2(p_b, p_nb)                      # (B, W)
@@ -367,14 +389,13 @@ def device_beam_search(
             # completed-word bonus: applies only to the space extension of
             # beams holding a non-empty partial word — one backoff-chain
             # lookup per BEAM per step (not per candidate)
-            raw_sw, w_bo, cw_bo = _word_lm_score(
-                word_lm, wlm_probes, c2h1, c2h2, c1h1, c1h2, wh1, wh2,
-                bo1, bo2, dense=lm_dense)
+            raw_sw, new_bos_vals = _word_lm_score(
+                word_lm, wlm_probes, ctx, wh1, wh2, bos, dense=lm_dense)
             sw = jnp.where(wh1 != 0, alpha * raw_sw + beta, 0.0)  # (B, W)
             ext_lm = ext_lm + jnp.where(char_ids == space,
                                         sw[:, :, None], 0.0)
         else:
-            w_bo = cw_bo = bo1
+            new_bos_vals = []
 
         # ---- merge: stay(j) absorbs extension(i,c) iff equal prefix ----
         # (the ONLY possible merge: beams are distinct, so stay==stay and
@@ -417,17 +438,15 @@ def device_beam_search(
         # of materializing and gathering a (B, W*K, 3) candidate pack —
         # in-scan gathers and their layout copies cost far more than the
         # few elementwise ops of the recompute.
+        extra = [f2u(stay_pb), f2u(stay_pnb_m)] \
+            + [f2u(b) for b in new_bos_vals] \
+            + ([f2u(sw)] if word_lm is not None else [])
         par_pack = jnp.concatenate(
-            [st,
-             jnp.stack([f2u(stay_pb), f2u(stay_pnb_m),
-                        f2u(w_bo), f2u(cw_bo),
-                        f2u(sw) if word_lm is not None else
-                        jnp.zeros(stay_pb.shape, jnp.uint32)],
-                       axis=-1)], axis=-1)
+            [st, jnp.stack(extra, axis=-1)], axis=-1)
         sel = jnp.take_along_axis(par_pack, sel_parent[:, :, None], axis=1)
-        P_BPB, P_BPNB, P_WBO, P_CWBO, P_SW = (n_cols, n_cols + 1,
-                                              n_cols + 2, n_cols + 3,
-                                              n_cols + 4)
+        P_BPB, P_BPNB = n_cols, n_cols + 1
+        P_NEWBO = n_cols + 2              # n_bo new backoff-carry columns
+        P_SW = P_NEWBO + n_bo
 
         c_idx = ext_idx % k_c                                # (B, W)
         c_oh = c_idx[:, :, None] == jnp.arange(k_c)[None, None, :]
@@ -460,8 +479,9 @@ def device_beam_search(
         p_h2 = sel[..., C_H2]
         p_wh1 = sel[..., C_WH1]
         p_wh2 = sel[..., C_WH2]
-        p_c1h1 = sel[..., C_C1H1]
-        p_c1h2 = sel[..., C_C1H2]
+        p_ctx = [(sel[..., C_CTX + 2 * j], sel[..., C_CTX + 2 * j + 1])
+                 for j in range(n_ctxw)]
+        p_c1h1, p_c1h2 = p_ctx[0]
         if normalize:
             sel_sep = (p_wh1 == 0) & ((p_c1h1 != 0) | (p_c1h2 != 0))
             sp_u = jnp.uint32(space + 1)
@@ -492,14 +512,17 @@ def device_beam_search(
         new_wh2 = jnp.where(is_stay | is_space_ext,
                             jnp.where(is_space_ext, jnp.uint32(0), p_wh2),
                             p_wh2 * _HASH_P2 + cplus)
-        new_c1h1 = jnp.where(shift, p_wh1, p_c1h1)
-        new_c1h2 = jnp.where(shift, p_wh2, p_c1h2)
-        new_c2h1 = jnp.where(shift, p_c1h1, sel[..., C_C2H1])
-        new_c2h2 = jnp.where(shift, p_c1h2, sel[..., C_C2H2])
+        # completed-word context shift: c_1 <- w, c_j <- c_{j-1}
+        new_ctx = [(jnp.where(shift, p_wh1, p_c1h1),
+                    jnp.where(shift, p_wh2, p_c1h2))]
+        for j in range(1, n_ctxw):
+            new_ctx.append((jnp.where(shift, p_ctx[j - 1][0], p_ctx[j][0]),
+                            jnp.where(shift, p_ctx[j - 1][1],
+                                      p_ctx[j][1])))
         # on word completion the new context's backoff weights are the
-        # completed word's own uni/bi row entries, already fetched above
-        new_bo1 = jnp.where(shift, sel[..., P_WBO], sel[..., C_BO1])
-        new_bo2 = jnp.where(shift, sel[..., P_CWBO], sel[..., C_BO2])
+        # completed word's own chain rows, already fetched above
+        new_bo_cols = [jnp.where(shift, sel[..., P_NEWBO + j],
+                                 sel[..., C_BO + j]) for j in range(n_bo)]
 
         # dead slots (filled from NEG-score padding) get poisoned hashes so
         # they can never absorb a live extension's probability mass
@@ -519,13 +542,13 @@ def device_beam_search(
         new_plen = parent_len + is_ext.astype(jnp.int32)
         new_last = jnp.where(is_ext, sel_char, parent_last)
 
-        # new_bo1/new_bo2 selected between u32 columns, already bit patterns
+        # new_bo_cols selected between u32 columns, already bit patterns
         new_st = jnp.stack(
             [new_hash, new_hash2, f2u(new_pb), f2u(new_pnb), f2u(new_lm),
              (new_last + 1).astype(jnp.uint32), new_row.astype(jnp.uint32),
-             new_plen.astype(jnp.uint32), new_wh1, new_wh2,
-             new_c1h1, new_c1h2, new_c2h1, new_c2h2,
-             new_bo1, new_bo2], axis=-1)
+             new_plen.astype(jnp.uint32), new_wh1, new_wh2]
+            + [h for pair in new_ctx for h in pair]
+            + new_bo_cols, axis=-1)
 
         # freeze finished utterances; frozen steps record identity
         # backpointers so the backtrace passes through them unchanged
@@ -546,10 +569,12 @@ def device_beam_search(
     if word_lm is not None:
         # trailing partial word scored like the oracle's best()
         wh1 = st[..., C_WH1]
-        sw, _, _ = _word_lm_score(
-            word_lm, wlm_probes, st[..., C_C2H1], st[..., C_C2H2],
-            st[..., C_C1H1], st[..., C_C1H2], wh1, st[..., C_WH2],
-            u2f(st[..., C_BO1]), u2f(st[..., C_BO2]), dense=lm_dense)
+        fctx = [(st[..., C_CTX + 2 * j], st[..., C_CTX + 2 * j + 1])
+                for j in range(n_ctxw)]
+        fbos = [u2f(st[..., C_BO + j]) for j in range(n_bo)]
+        sw, _ = _word_lm_score(
+            word_lm, wlm_probes, fctx, wh1, st[..., C_WH2], fbos,
+            dense=lm_dense)
         total = total + jnp.where(wh1 != 0, alpha * sw + beta, 0.0)
     best = jnp.argmax(total, axis=1)                          # (B,)
     return reconstruct_best_path(parents, chars, best, w=w, bsz=bsz,
@@ -621,9 +646,9 @@ def device_beam_transcripts(log_probs, lengths, labels, *, impl="auto",
     eligible = (kwargs.get("lm_table") is None
                 and kwargs.get("space", -1) >= 0
                 and kwargs.get("cutoff_top_n", 0) > 0
-                # the kernel's (W, W, K, B) merge temporaries blow VMEM /
-                # crash Mosaic past W~32 (W=32 compiles and runs, W=50
-                # does not); wide beams route to the XLA scan
+                # blocked merge + threshold select keep the kernel fast
+                # through the reference deploy widths (50/100); very wide
+                # beams route to the XLA scan
                 and kwargs.get("beam_width", 16) <= PALLAS_MAX_BEAM_WIDTH
                 and (word_lm is None
                      or int(word_lm.packed.shape[0]) <= PALLAS_WLM_MAX_ROWS))

@@ -37,6 +37,22 @@ def _open(path: str):
     return open(path, "r", encoding="utf-8")
 
 
+def load_lm(path: str) -> "NGramLM":
+    """Load an n-gram LM from EITHER an ARPA text file or a KenLM PROBING
+    `.binary` (sniffed by magic, like kenlm's own loader) — the reference
+    deploys binaries (beam_search_decoder.py:82-87, .MISSING_LARGE_BLOBS).
+    Binaries are reconstructed into the explicit word-keyed form so every
+    consumer (device tables, C++ tier, oracle) works unchanged; use
+    vietasr_tpu.ops.kenlm_binary.KenLMBinary directly for scoring huge
+    binaries without reconstruction."""
+    from vietasr_tpu.ops.kenlm_binary import is_kenlm_binary, \
+        read_kenlm_binary
+
+    if is_kenlm_binary(path):
+        return read_kenlm_binary(path).to_ngram_lm()
+    return NGramLM(path)
+
+
 class NGramLM:
     """Katz-backoff n-gram LM over an ARPA file.
 
@@ -203,6 +219,30 @@ def train_ngram_arpa(corpus_lines: Sequence[str], out_path: str, *,
         f.write("\\end\\\n")
 
 
+def write_arpa(lm: "NGramLM", out_path: str) -> None:
+    """Serialize an NGramLM (natural-log internal) back to ARPA text
+    (log10) — e.g. to spill a reconstructed KenLM `.binary` for consumers
+    that parse ARPA (native/ctc_beam.cc)."""
+    by_order: List[List[Tuple[Tuple[str, ...], float, float]]] = \
+        [[] for _ in range(lm.order)]
+    for g, (lp, bo) in lm.ngrams.items():
+        by_order[len(g) - 1].append((g, lp / LOG10, bo / LOG10))
+    with open(out_path, "w", encoding="utf-8") as f:
+        f.write("\\data\\\n")
+        for n in range(1, lm.order + 1):
+            f.write(f"ngram {n}={len(by_order[n - 1])}\n")
+        f.write("\n")
+        for n in range(1, lm.order + 1):
+            f.write(f"\\{n}-grams:\n")
+            for g, lp, bo in sorted(by_order[n - 1]):
+                if n < lm.order:
+                    f.write(f"{lp:.7f}\t{' '.join(g)}\t{bo:.7f}\n")
+                else:
+                    f.write(f"{lp:.7f}\t{' '.join(g)}\n")
+            f.write("\n")
+        f.write("\\end\\\n")
+
+
 # ---------------------------------------------------------------------------
 # dense char-LM tables for on-device fusion
 
@@ -235,11 +275,13 @@ def char_lm_table(lm: NGramLM, labels: Sequence[str]) -> np.ndarray:
 
 
 def word_lm_tables(lm: NGramLM, labels: Sequence[str]):
-    """Densify a WORD-level n-gram LM (order <= 3) into hashed
+    """Densify a WORD-level n-gram LM (order <= 5) into hashed
     open-addressing tables for ON-DEVICE shallow fusion.
 
     This is the TPU-native replacement for the KenLM probing hash table
-    the reference queries on the host (beam_search_decoder.py:82-87): each
+    the reference queries on the host (beam_search_decoder.py:82-87; its
+    shipped artifacts are 3-, 4- AND 5-gram binaries,
+    .MISSING_LARGE_BLOBS:4-6 — all orders fuse on device here): each
     n-gram is keyed by two independent 32-bit hash lanes folded over its
     words' rolling hashes (hashing must match ops/device_beam.py exactly,
     uint32 wraparound arithmetic); the beam search probes the tables with
@@ -252,11 +294,13 @@ def word_lm_tables(lm: NGramLM, labels: Sequence[str]):
     `probes` is the worst-case linear-probe displacement (static arg for
     device_beam_search).
     """
-    from vietasr_tpu.ops.device_beam import WordLMTables
+    from vietasr_tpu.ops.device_beam import MAX_WLM_ORDER, WordLMTables
 
-    if lm.order > 3:
-        raise ValueError("on-device word LM supports order <= 3; "
-                         f"got order {lm.order} (truncate the ARPA)")
+    if lm.order > MAX_WLM_ORDER:
+        raise ValueError(
+            f"on-device word LM supports order <= {MAX_WLM_ORDER}; "
+            f"got order {lm.order} (truncate the ARPA)")
+    n_levels = max(lm.order, 1)
     # plain-int arithmetic masked to 32 bits == the device's uint32
     # wraparound (numpy >= 2 warns on scalar overflow, so avoid np.uint32)
     M32 = 0xFFFFFFFF
@@ -291,7 +335,7 @@ def word_lm_tables(lm: NGramLM, labels: Sequence[str]):
         return k1, k2
 
     levels: List[List[Tuple[np.uint32, np.uint32, float, float]]] = \
-        [[], [], []]
+        [[] for _ in range(n_levels)]
     for g, (logp, bo) in lm.ngrams.items():
         if any(wd in (BOS, EOS, UNK) for wd in g):
             continue
@@ -339,12 +383,8 @@ def word_lm_tables(lm: NGramLM, labels: Sequence[str]):
     unk = lm.ngrams[(UNK,)][0] if lm.has_unk else -5e29
     tables = WordLMTables(
         packed=packed,
-        uni_mask=np.uint32(sizes[0] - 1),
-        bi_mask=np.uint32(sizes[1] - 1),
-        tri_mask=np.uint32(sizes[2] - 1),
-        uni_base=np.uint32(0),
-        bi_base=np.uint32(sizes[0]),
-        tri_base=np.uint32(sizes[0] + sizes[1]),
+        masks=np.asarray([s - 1 for s in sizes], np.uint32),
+        bases=np.asarray(np.cumsum([0] + sizes[:-1]), np.uint32),
         unk_logp=np.float32(unk))
     return tables, max_probes
 

@@ -12,6 +12,18 @@ Layout: batch rides the 128-wide LANE axis everywhere — state tensors are
 (W, B), candidate tensors (W, K, B) — so W=16 x K=8 collapses onto full
 vregs instead of wasting 7/8 of each lane row as the (B, W) layout would.
 
+Wide beams (the reference's actual deploy configs: W=100 CLI
+/root/reference/infer.py:191, W=50 web app.py:27) are first-class: the
+prefix merge runs in O(W^2) per step — a stay beam can only absorb
+extensions of its own last char, so the (W, W, K, B) candidate equality
+the round-2 kernel materialized (and that crashed Mosaic past W=32)
+collapses to a (W, W, B) test processed in 8-parent blocks, with absorbed
+extensions recovered exactly through per-parent char bitmasks — and the
+top-W selection switches from W sequential masked-max passes to a 32-step
+binary threshold search + exact MXU-cumsum ranks + blocked one-hot slot
+scatter. Internal width pads to the 8-sublane tile (extra slots
+permanently dead), so any requested beam_width is supported.
+
 Word-LM shallow fusion uses the dense-match strategy (ops/device_beam.py
 `_word_lm_score(dense=True)` semantics, bit-identical backoff math): the
 n-gram table is DENSE-PACKED (only occupied rows) into VMEM-resident
@@ -57,18 +69,28 @@ P1, P2 = 1000003, 69069
 Q1, Q2 = 2654435761, 40503
 KEY_SEED = 1
 
-# final-state pack row indices (u32 bit patterns; f32 fields bitcast)
-(F_PB, F_PNB, F_LM, F_WH1, F_WH2, F_C1H1, F_C1H2, F_C2H1, F_C2H2,
- F_BO1, F_BO2, F_PLEN) = range(12)
-N_FIN = 12
+# final-state pack row indices (u32 bit patterns; f32 fields bitcast).
+# Rows 5.. hold the order-dependent word-LM context/backoff state:
+# 2*n_ctxw context hash rows, n_bo carried backoffs, then plen last —
+# N_FIN = 6 + 2*n_ctxw + n_bo (see _fin_rows).
+(F_PB, F_PNB, F_LM, F_WH1, F_WH2) = range(5)
+F_CTX = 5
+
+
+def _fin_rows(n_ctxw: int, n_bo: int):
+    """(F_BO, F_PLEN, N_FIN) for the order-dependent final-state pack."""
+    f_bo = F_CTX + 2 * n_ctxw
+    f_plen = f_bo + n_bo
+    return f_bo, f_plen, f_plen + 1
 
 
 class DenseLM(NamedTuple):
     """Dense-packed word-LM table for the kernel (occupied rows only).
 
-    Rows are grouped by level (0=unigram, 1=bigram, 2=trigram); `level`
+    Rows are grouped by level (0=unigram, 1=bigram, ..., L-1); `level`
     marks each row's group so a chain only matches its own level. Padding
-    rows carry key 0 / level -1 and can never match.
+    rows carry key 0 / level -1 and can never match. `order` (static) is
+    the LM order L (up to 5 — the reference's artifact range).
     """
 
     key1: jnp.ndarray      # (N, 1) uint32
@@ -77,18 +99,18 @@ class DenseLM(NamedTuple):
     bo: jnp.ndarray        # (N, 1) f32
     level: jnp.ndarray     # (N, 1) int32
     unk_logp: float
+    order: int = 3
 
 
 def dense_lm_from_tables(tables: WordLMTables,
                          unk_logp: float) -> DenseLM:
     """Dense-pack an open-addressing WordLMTables (drop empty slots)."""
     packed = np.asarray(tables.packed)
-    bases = [int(tables.uni_base), int(tables.bi_base),
-             int(tables.tri_base)]
-    sizes = [int(tables.uni_mask) + 1, int(tables.bi_mask) + 1,
-             int(tables.tri_mask) + 1]
+    n_levels = int(np.asarray(tables.masks).shape[0])
+    bases = [int(b) for b in np.asarray(tables.bases)]
+    sizes = [int(m) + 1 for m in np.asarray(tables.masks)]
     rows, levels = [], []
-    for lvl in range(3):
+    for lvl in range(n_levels):
         seg = packed[bases[lvl] : bases[lvl] + sizes[lvl]]
         occ = seg[(seg[:, 0] != 0) | (seg[:, 1] != 0)]
         rows.append(occ)
@@ -106,6 +128,7 @@ def dense_lm_from_tables(tables: WordLMTables,
         bo=jnp.asarray(rows_np[:, 3:4].view(np.float32)),
         level=jnp.asarray(level_np[:, None]),
         unk_logp=float(unk_logp),
+        order=n_levels,
     )
 
 
@@ -153,15 +176,17 @@ def _i32sum_onehot(mask, vals_u32, axis):
     return jax.lax.bitcast_convert_type(s, jnp.uint32)
 
 
-def _word_lm_queries(c2h1, c2h2, c1h1, c1h2, wh1, wh2):
-    """Hash-fold the unigram/bigram/trigram lookup keys, (W, B) each."""
+def _word_lm_queries(ctx, wh1, wh2, n_levels):
+    """Hash-fold the L chain lookup keys, (W, B) pairs. `ctx` is the
+    context-hash pair list, most recent first (ctx[0] = c_1)."""
     one = jnp.uint32(KEY_SEED)
-    uk1, uk2 = _fold(one, one, wh1, wh2)
-    c1k1, c1k2 = _fold(one, one, c1h1, c1h2)
-    bk1, bk2 = _fold(c1k1, c1k2, wh1, wh2)
-    ctxk1, ctxk2 = _fold(*_fold(one, one, c2h1, c2h2), c1h1, c1h2)
-    tk1, tk2 = _fold(ctxk1, ctxk2, wh1, wh2)
-    return ((uk1, uk2), (bk1, bk2), (tk1, tk2))
+    out = []
+    for j in range(1, n_levels + 1):     # chain j = j-gram (c_{j-1}..c_1 w)
+        s1 = s2 = one
+        for i in range(j - 1, 0, -1):    # fold oldest context first
+            s1, s2 = _fold(s1, s2, ctx[i - 1][0], ctx[i - 1][1])
+        out.append(_fold(s1, s2, wh1, wh2))
+    return tuple(out)
 
 
 def _lm_match_block(k1, k2, lg, bo_c, lv, queries, state):
@@ -192,42 +217,46 @@ def _lm_match_block(k1, k2, lg, bo_c, lv, queries, state):
     return tuple(any_hits), tuple(vals), tuple(bos)
 
 
-def _lm_match_init(qshape):
-    return (tuple(jnp.zeros(qshape, jnp.int32) for _ in range(3)),
-            tuple(jnp.full(qshape, NEG, jnp.float32) for _ in range(3)),
-            tuple(jnp.full(qshape, NEG, jnp.float32) for _ in range(3)))
+def _lm_match_init(qshape, n_levels):
+    return (tuple(jnp.zeros(qshape, jnp.int32) for _ in range(n_levels)),
+            tuple(jnp.full(qshape, NEG, jnp.float32)
+                  for _ in range(n_levels)),
+            tuple(jnp.full(qshape, NEG, jnp.float32)
+                  for _ in range(n_levels)))
 
 
-def _lm_combine(state, unk_logp, c1_bo, ctx_bo, c1h1, c2h1):
+def _lm_combine(state, unk_logp, ctx, bo_carries):
     """Katz backoff combine — mirrors device_beam._word_lm_score
-    (dense=True) bit for bit."""
+    (dense=True) bit for bit, for any order."""
     hit_masks, vals, raw_bos = state
+    n_levels = len(hit_masks)
     any_hits = [m != 0 for m in hit_masks]
-    bos = [jnp.where(any_hits[i], raw_bos[i], 0.0) for i in range(3)]
+    bos = [jnp.where(any_hits[i], raw_bos[i], 0.0)
+           for i in range(n_levels)]
     p = jnp.where(any_hits[0], vals[0], unk_logp)
-    p2 = jnp.where(any_hits[1], vals[1], c1_bo + p)
-    p = jnp.where(c1h1 != 0, p2, p)
-    p3 = jnp.where(any_hits[2], vals[2], ctx_bo + p)
-    p = jnp.where((c2h1 != 0) & (c1h1 != 0), p3, p)
-    w_bo = jnp.where(any_hits[0], bos[0], 0.0)
-    cw_bo = jnp.where(any_hits[1], bos[1], 0.0)
-    return p, w_bo, cw_bo
+    exists = None
+    for j in range(1, n_levels):
+        ex_j = ctx[j - 1][0] != 0
+        exists = ex_j if exists is None else exists & ex_j
+        pj = jnp.where(any_hits[j], vals[j], bo_carries[j - 1] + p)
+        p = jnp.where(exists, pj, p)
+    new_bos = bos[: n_levels - 1]
+    return p, new_bos
 
 
-def _word_lm_score_k(lm: DenseLM, unk_logp, c2h1, c2h2, c1h1, c1h2,
-                     wh1, wh2, c1_bo, ctx_bo):
+def _word_lm_score_k(lm: DenseLM, unk_logp, ctx, wh1, wh2, bo_carries,
+                     n_levels):
     """Single-pass dense-match Katz backoff, (W, B) queries. Used for
     finalization (plain XLA) and for small tables inside the kernel."""
-    queries = _word_lm_queries(c2h1, c2h2, c1h1, c1h2, wh1, wh2)
-    state = _lm_match_init(c1h1.shape)
+    queries = _word_lm_queries(ctx, wh1, wh2, n_levels)
+    state = _lm_match_init(wh1.shape, n_levels)
     state = _lm_match_block(lm.key1, lm.key2, lm.logp, lm.bo, lm.level,
                             queries, state)
-    return _lm_combine(state, unk_logp, c1_bo, ctx_bo, c1h1, c2h1)
+    return _lm_combine(state, unk_logp, ctx, bo_carries)
 
 
 def _word_lm_score_refs(k1_ref, k2_ref, lg_ref, bo_ref, lv_ref, chunk,
-                        unk_logp, c2h1, c2h2, c1h1, c1h2, wh1, wh2,
-                        c1_bo, ctx_bo):
+                        unk_logp, ctx, wh1, wh2, bo_carries, n_levels):
     """In-kernel dense match over VMEM refs in `chunk`-row blocks via a
     fori_loop (table row count must be a multiple of `chunk` — the
     wrapper pads with key-0/level -1 rows, which can never match).
@@ -244,8 +273,8 @@ def _word_lm_score_refs(k1_ref, k2_ref, lg_ref, bo_ref, lv_ref, chunk,
     measured ~7 us/step in loop overhead that small tables shouldn't
     pay."""
     n = k1_ref.shape[0]
-    queries = _word_lm_queries(c2h1, c2h2, c1h1, c1h2, wh1, wh2)
-    state = _lm_match_init(c1h1.shape)
+    queries = _word_lm_queries(ctx, wh1, wh2, n_levels)
+    state = _lm_match_init(wh1.shape, n_levels)
 
     if n // chunk <= _UNROLL_BLOCKS:
         for c0 in range(0, n, chunk):
@@ -261,23 +290,78 @@ def _word_lm_score_refs(k1_ref, k2_ref, lg_ref, bo_ref, lv_ref, chunk,
                 lv_ref[idx], queries, state)
 
         state = jax.lax.fori_loop(0, n // chunk, body, state)
-    return _lm_combine(state, unk_logp, c1_bo, ctx_bo, c1h1, c2h1)
+    return _lm_combine(state, unk_logp, ctx, bo_carries)
+
+
+# sublane block sizes for the wide-beam (W > _SMALL_W) code paths: the
+# merge loops over parent blocks, slot assignment and parent select loop
+# over new-slot blocks, so no temporary ever holds a full (W, W, ...) or
+# (n_cand, W, ...) array in VMEM — that is what crashed Mosaic past W=32
+# in the round-2 kernel (the (W, W, K, B) merge temporaries)
+_SMALL_W = 32
+_MERGE_BLK = 8
+_SLOT_BLK = 8
+
+
+def _cumsum_excl_pair(a, b):
+    """Exact exclusive cumulative sums of two 0/1 arrays (N, B) along axis
+    0, via ONE strictly-lower-triangular matmul on the MXU. bf16 inputs
+    are exact (0/1), f32 accumulation is exact for counts < 2^24."""
+    n, bsz = a.shape
+    row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    tri = (col < row).astype(jnp.bfloat16)                   # strict lower
+    x = jnp.concatenate([a, b], axis=1).astype(jnp.bfloat16)  # (N, 2B)
+    out = jax.lax.dot_general(
+        tri, x, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    return out[:, :bsz], out[:, bsz:]
 
 
 def _beam_kernel(lens_ref, lp_ref, toplp_ref, topci_ref, *rest,
-                 w: int, k_c: int, v1: int, blank: int, space: int,
-                 alpha: float, beta: float, has_lm: bool,
-                 unk_logp: float, lm_chunk: int):
+                 w: int, w_live: int, k_c: int, v1: int, blank: int,
+                 space: int, alpha: float, beta: float, has_lm: bool,
+                 unk_logp: float, lm_chunk: int, n_ctxw: int, n_bo: int,
+                 ablate: str = ""):
+    rest = list(rest)
     if has_lm:
-        (k1_ref, k2_ref, lg_ref, bo_ref, lv_ref, bp_ref, fin_ref,
-         h1_s, h2_s, pb_s, pnb_s, lm_s, last_s, plen_s,
-         wh1_s, wh2_s, c1h1_s, c1h2_s, c2h1_s, c2h2_s, bo1_s, bo2_s) = rest
-    else:
-        (bp_ref, fin_ref,
-         h1_s, h2_s, pb_s, pnb_s, lm_s, last_s, plen_s,
-         wh1_s, wh2_s, c1h1_s, c1h2_s, c2h1_s, c2h2_s, bo1_s, bo2_s) = rest
+        k1_hbm, k2_hbm, lg_hbm, bo_hbm, lv_hbm = rest[:5]
+        del rest[:5]
+    bp_ref, fin_ref = rest[:2]
+    (h1_s, h2_s, pb_s, pnb_s, lm_s, last_s, plen_s, wh1_s, wh2_s) = \
+        rest[2:11]
+    pos = 11
+    ctx_s = [(rest[pos + 2 * j], rest[pos + 2 * j + 1])
+             for j in range(n_ctxw)]
+    pos += 2 * n_ctxw
+    bo_s = rest[pos : pos + n_bo]
+    pos += n_bo
+    b1_s, b2_s, ptot_s, kills_s = rest[pos : pos + 4]
+    pos += 4
+    if has_lm:
+        k1_ref, k2_ref, lg_ref, bo_ref, lv_ref, lm_sem = rest[pos:]
+    lm_order = n_bo + 1          # LM chain count when has_lm
+    F_BO, F_PLEN, _ = _fin_rows(n_ctxw, n_bo)
     t = pl.program_id(0)
+
+    if has_lm:
+        # the dense LM lives in HBM (memory_space=ANY) and is DMA'd into
+        # VMEM scratch ONCE at t == 0. Passing it as grid-blocked (n, 1)
+        # VMEM inputs instead re-fetched all five lane-width-1 columns
+        # EVERY grid step — measured ~240 us/step of pure DMA at W=104
+        # (tools/probe_beam_shell.py), dwarfing the entire compute.
+        @pl.when(t == 0)
+        def _load_lm():
+            pairs = ((k1_hbm, k1_ref), (k2_hbm, k2_ref), (lg_hbm, lg_ref),
+                     (bo_hbm, bo_ref), (lv_hbm, lv_ref))
+            copies = [pltpu.make_async_copy(src, dst, lm_sem.at[i])
+                      for i, (src, dst) in enumerate(pairs)]
+            for c in copies:
+                c.start()
+            for c in copies:
+                c.wait()
     bsz = pb_s.shape[1]
+    n_words = kills_s.shape[0]
     row_w = jax.lax.broadcasted_iota(jnp.int32, (w, bsz), 0)   # (W, B)
     row_w_u = jax.lax.bitcast_convert_type(row_w, jnp.uint32)
     poison1 = jnp.uint32(0x80000000) + row_w_u
@@ -293,10 +377,17 @@ def _beam_kernel(lens_ref, lp_ref, toplp_ref, topci_ref, *rest,
         lm_s[...] = jnp.zeros((w, bsz), jnp.float32)
         last_s[...] = jnp.full((w, bsz), -1, jnp.int32)
         plen_s[...] = jnp.zeros((w, bsz), jnp.int32)
-        for ref in (wh1_s, wh2_s, c1h1_s, c1h2_s, c2h1_s, c2h2_s):
+        for ref in [wh1_s, wh2_s] + [r for pair in ctx_s for r in pair]:
             ref[...] = jnp.zeros((w, bsz), jnp.uint32)
-        bo1_s[...] = jnp.zeros((w, bsz), jnp.float32)
-        bo2_s[...] = jnp.zeros((w, bsz), jnp.float32)
+        for ref in bo_s:
+            ref[...] = jnp.zeros((w, bsz), jnp.float32)
+
+    if "body" in ablate:        # timing floor: state identity + bp write
+        bp_ref[0, 0] = row_w
+        bp_ref[0, 1] = jnp.full((w, bsz), -1, jnp.int32)
+        fin_ref[F_PB] = jax.lax.bitcast_convert_type(
+            pb_s[...] + lp_ref[0, blank:blank + 1, :], jnp.uint32)
+        return
 
     h1 = h1_s[...]
     h2 = h2_s[...]
@@ -307,12 +398,9 @@ def _beam_kernel(lens_ref, lp_ref, toplp_ref, topci_ref, *rest,
     plen = plen_s[...]
     wh1 = wh1_s[...]
     wh2 = wh2_s[...]
-    c1h1 = c1h1_s[...]
-    c1h2 = c1h2_s[...]
-    c2h1 = c2h1_s[...]
-    c2h2 = c2h2_s[...]
-    bo1 = bo1_s[...]
-    bo2 = bo2_s[...]
+    ctx = [(a[...], b[...]) for a, b in ctx_s]
+    bos = [r[...] for r in bo_s]
+    c1h1, c1h2 = ctx[0]
 
     lp = lp_ref[0]                                           # (V1, B)
     top_lp = toplp_ref[0]                                    # (K, B)
@@ -344,59 +432,201 @@ def _beam_kernel(lens_ref, lp_ref, toplp_ref, topci_ref, *rest,
     ext_h2 = jnp.where(is_space_c[None], h2[:, None, :],
                        b2[:, None, :] * jnp.uint32(P2) + cplus3[None])
 
+    if has_lm and "lm" in ablate:
+        has_lm = False      # timing ablation: skip the LM match
     if has_lm:
         if lm_chunk > 0:
-            raw_sw, w_bo, cw_bo = _word_lm_score_refs(
+            raw_sw, new_bos = _word_lm_score_refs(
                 k1_ref, k2_ref, lg_ref, bo_ref, lv_ref, lm_chunk,
-                unk_logp, c2h1, c2h2, c1h1, c1h2, wh1, wh2, bo1, bo2)
+                unk_logp, ctx, wh1, wh2, bos, lm_order)
         else:
             lm = DenseLM(key1=k1_ref[...], key2=k2_ref[...],
                          logp=lg_ref[...], bo=bo_ref[...],
-                         level=lv_ref[...], unk_logp=unk_logp)
-            raw_sw, w_bo, cw_bo = _word_lm_score_k(
-                lm, unk_logp, c2h1, c2h2, c1h1, c1h2, wh1, wh2, bo1, bo2)
+                         level=lv_ref[...], unk_logp=unk_logp,
+                         order=lm_order)
+            raw_sw, new_bos = _word_lm_score_k(
+                lm, unk_logp, ctx, wh1, wh2, bos, lm_order)
         sw = jnp.where(wh1 != 0, alpha * raw_sw + beta, 0.0)  # (W, B)
         ext_lm = lmsc[:, None, :] + jnp.where(
             is_space_c[None], sw[:, None, :], 0.0)
     else:
         sw = jnp.zeros((w, bsz), jnp.float32)
-        w_bo = cw_bo = bo1
+        new_bos = [jnp.zeros((w, bsz), jnp.float32) for _ in range(n_bo)]
         ext_lm = jnp.broadcast_to(lmsc[:, None, :], ext_pnb.shape)
 
     # ---- merge: stay(j) absorbs ext(i, c) iff equal canonical prefix ----
-    eqm = (h1[:, None, None, :] == ext_h1[None]) \
-        & (h2[:, None, None, :] == ext_h2[None]) \
-        & (last[:, None, None, :] == top_ci[None, None])     # (Wj,Wi,K,B)
-    ext_masked = jnp.where(eqm, ext_pnb[None], NEG)
-    mmax = jnp.maximum(stay_pnb, jnp.max(ext_masked, axis=(1, 2)))
+    # O(W^2), not O(W^2 K): a stay j can only absorb extensions with the
+    # char c == last_j (the merged prefix must END in last_j), so the per-
+    # candidate equality collapses to one (Wj, Wi) test with c = last_j,
+    # guarded by "last_j was expanded this frame at all" (in_topk). The
+    # kill side (which ext candidates were absorbed) is recovered exactly
+    # from per-parent char bitmasks: hit(j, i) implies ext(i, last_j) was
+    # absorbed, and for a fixed (i, c) at most one stay can absorb it
+    # (beams are distinct), so OR-ing 1 << last_j bits over j is exact.
+    in_topk = jnp.any(last[:, None, :] == top_ci[None], axis=1)  # (W, B)
+    is_space_l = last == space
+    cplus_l = jax.lax.bitcast_convert_type(last + 1, jnp.uint32)
+    # i-side (extended-parent) fields the block loop slices from refs
+    b1_s[...] = b1
+    b2_s[...] = b2
+    ptot_s[...] = p_tot
+
+    def merge_block(i0, blk):
+        """(Wj, blk, B) masked absorbed-mass values + hit mask for the
+        parent block [i0, i0+blk)."""
+        s = (pl.ds(i0, blk), slice(None))
+        h1_i = h1_s[s][None]                                 # (1, blk, B)
+        h2_i = h2_s[s][None]
+        b1_i = b1_s[s][None]
+        b2_i = b2_s[s][None]
+        pb_i = pb_s[s][None]
+        ptot_i = ptot_s[s][None]
+        last_i = last_s[s][None]
+        sp_j = is_space_l[:, None, :]
+        eh1 = jnp.where(sp_j, h1_i,
+                        b1_i * jnp.uint32(P1) + cplus_l[:, None, :])
+        eh2 = jnp.where(sp_j, h2_i,
+                        b2_i * jnp.uint32(P2) + cplus_l[:, None, :])
+        hit = in_topk[:, None, :] \
+            & (h1[:, None, :] == eh1) & (h2[:, None, :] == eh2)
+        base = jnp.where(last[:, None, :] == last_i, pb_i, ptot_i)
+        vals = jnp.where(hit, base + lp_last[:, None, :], NEG)
+        return vals, hit
+
+    n_mblk = w if w <= _SMALL_W else _MERGE_BLK
+    # pass A: exact global max over stay_pnb and every absorbed value
+    if "merge" in ablate:       # timing ablation
+        mmax = stay_pnb
+    elif w <= _SMALL_W:
+        mmax = jnp.maximum(stay_pnb, jnp.max(merge_block(0, w)[0], axis=1))
+    else:
+        def maxbody(i, m):
+            return jnp.maximum(
+                m, jnp.max(merge_block(i * n_mblk, n_mblk)[0], axis=1))
+
+        mmax = jax.lax.fori_loop(0, w // n_mblk, maxbody, stay_pnb)
     msafe = jnp.where(mmax <= NEG / 2, 0.0, mmax)
-    msum = jnp.exp(jnp.maximum(stay_pnb - msafe, NEG)) + jnp.sum(
-        jnp.exp(jnp.maximum(ext_masked - msafe[:, None, None, :], NEG)),
-        axis=(1, 2))
+
+    # pass B: accumulate exp-sums at the final msafe (single-reference
+    # logsumexp — no online rescaling) and the per-parent kill bitmasks
+    last_u = jax.lax.bitcast_convert_type(jnp.maximum(last, 0), jnp.uint32)
+    word_l = jax.lax.shift_right_logical(last_u, jnp.uint32(5))
+    bit_l = jnp.where(
+        in_topk,
+        jax.lax.shift_left(jnp.full_like(last_u, 1),
+                           last_u & jnp.uint32(31)),
+        jnp.uint32(0))
+
+    def sum_kills_block(i0, blk, s_acc):
+        vals, hit = merge_block(i0, blk)
+        s_acc = s_acc + jnp.sum(
+            jnp.exp(jnp.maximum(vals - msafe[:, None, :], NEG)), axis=1)
+        for w0 in range(n_words):
+            contrib = jnp.where(
+                hit & (word_l == w0)[:, None, :],
+                bit_l[:, None, :], jnp.uint32(0))            # (Wj, blk, B)
+            # disjoint-bit OR == i32 sum (at most one hit per (i, char))
+            kills_s[w0, pl.ds(i0, blk), :] = jax.lax.bitcast_convert_type(
+                jnp.sum(jax.lax.bitcast_convert_type(contrib, jnp.int32),
+                        axis=0), jnp.uint32)
+        return s_acc
+
+    s0 = jnp.exp(jnp.maximum(stay_pnb - msafe, NEG))
+    if "merge" in ablate:       # timing ablation
+        msum = s0
+    elif w <= _SMALL_W:
+        msum = sum_kills_block(0, w, s0)
+    else:
+        def sumbody(i, s_acc):
+            return sum_kills_block(i * n_mblk, n_mblk, s_acc)
+
+        msum = jax.lax.fori_loop(0, w // n_mblk, sumbody, s0)
     stay_pnb_m = jnp.where(mmax <= NEG / 2, NEG,
                            msafe + jnp.log(jnp.maximum(msum, 1e-38)))
-    ext_alive = ~jnp.any(eqm, axis=0)                        # (W, K, B)
-    ext_pnb_rank = jnp.where(ext_alive, ext_pnb, NEG)
 
-    # ---- rank all W*(K+1) candidates, keep top W ----
+    # killed(i, k): bit c_k of parent i's kill words
+    ci_u = jax.lax.bitcast_convert_type(top_ci, jnp.uint32)
+    c_w = jax.lax.shift_right_logical(ci_u, jnp.uint32(5))    # (K, B)
+    c_b = ci_u & jnp.uint32(31)
+    killed = jnp.zeros((w, k_c, bsz), jnp.bool_)
+    if "merge" not in ablate:
+        for w0 in range(n_words):
+            kw = kills_s[w0]                                 # (W, B)
+            bit = jax.lax.shift_right_logical(
+                kw[:, None, :], c_b[None]) & jnp.uint32(1)
+            killed = killed | ((bit == 1) & (c_w == w0)[None])
+    ext_pnb_rank = jnp.where(killed, NEG, ext_pnb)
+
+    # ---- rank all W*(K+1) candidates, keep top w_live ----
     stay_total = _lse2(stay_pb, stay_pnb_m) + lmsc           # (W, B)
     ext_total = ext_pnb_rank + ext_lm                        # (W, K, B)
     totals = jnp.concatenate(
         [stay_total, ext_total.reshape(w * k_c, bsz)], axis=0)  # (W+WK, B)
     n_cand = w + w * k_c
     rows_c = jax.lax.broadcasted_iota(jnp.int32, (n_cand, bsz), 0)
-    taken = jnp.zeros((n_cand, bsz), jnp.bool_)
-    idx_rows, val_rows = [], []
-    for _ in range(w):
-        cur = jnp.where(taken, NEG * 2, totals)
-        mm = jnp.max(cur, axis=0, keepdims=True)             # (1, B)
-        idx = jnp.min(jnp.where(cur == mm, rows_c, n_cand), axis=0,
-                      keepdims=True)                         # (1, B)
-        idx_rows.append(idx)
-        val_rows.append(mm)
-        taken = taken | (rows_c == idx)
-    top_idx = jnp.concatenate(idx_rows, axis=0)              # (W, B)
-    top_val = jnp.concatenate(val_rows, axis=0)              # (W, B)
+    if w <= _SMALL_W:
+        # small W: w sequential masked-max passes (measured ~2 us at
+        # W=16); slot order = rank order, matching XLA top_k exactly
+        taken = jnp.zeros((n_cand, bsz), jnp.bool_)
+        idx_rows, val_rows = [], []
+        for _ in range(w):
+            cur = jnp.where(taken, NEG * 2, totals)
+            mm = jnp.max(cur, axis=0, keepdims=True)         # (1, B)
+            idx = jnp.min(jnp.where(cur == mm, rows_c, n_cand), axis=0,
+                          keepdims=True)                     # (1, B)
+            idx_rows.append(idx)
+            val_rows.append(mm)
+            taken = taken | (rows_c == idx)
+        top_idx = jnp.concatenate(idx_rows, axis=0)          # (W, B)
+        top_val = jnp.concatenate(val_rows, axis=0)          # (W, B)
+        dead_sel = top_val <= NEG / 2
+    elif "thresh" in ablate:    # timing ablation: identity selection
+        top_idx = row_w
+        dead_sel = jnp.zeros((w, bsz), jnp.bool_)
+    else:
+        # wide W (the reference's deploy widths, 50/100): sequential
+        # passes and (n_cand, W, B) one-hots don't scale, so (1) find the
+        # w_live-th largest total per lane by a 32-step binary search on
+        # the sortable-u32 image of f32, (2) select the > threshold
+        # candidates plus ties filled in index order (== XLA top_k's
+        # tie-breaking, so the KEPT SET is identical; slot ORDER differs,
+        # which the beam semantics and the backtrace are invariant to),
+        # (3) compute each selected candidate's slot = its rank among
+        # selected via an exact MXU cumsum, and scatter candidate row ids
+        # to slots in 8-row one-hot blocks.
+        t_u = jax.lax.bitcast_convert_type(totals, jnp.uint32)
+        t_i = jax.lax.bitcast_convert_type(totals, jnp.int32)
+        t_s = jnp.where(t_i < 0, ~t_u, t_u | jnp.uint32(0x80000000))
+        th = jnp.zeros((1, bsz), jnp.uint32)
+        for bit in range(31, -1, -1):
+            cand_th = th | jnp.uint32(1 << bit)
+            cnt = jnp.sum((t_s >= cand_th).astype(jnp.int32), axis=0,
+                          keepdims=True)                     # (1, B)
+            th = jnp.where(cnt >= w_live, cand_th, th)
+        gt = t_s > th                                        # (n_cand, B)
+        eq = t_s == th
+        gt_rank, eq_rank = _cumsum_excl_pair(
+            gt.astype(jnp.float32), eq.astype(jnp.float32))
+        n_gt = jnp.sum(gt.astype(jnp.int32), axis=0,
+                       keepdims=True).astype(jnp.float32)    # (1, B)
+        need_eq = jnp.float32(w_live) - n_gt
+        selected = gt | (eq & (eq_rank < need_eq))
+        rank = gt_rank + jnp.minimum(eq_rank, need_eq)       # (n_cand, B)
+        # candidate row id and dead bit packed into ONE field so a single
+        # value rides the (n_cand, slot-block, B) one-hot sums
+        dead_c = (totals <= NEG / 2).astype(jnp.int32)
+        code_c = (rows_c * 2 + dead_c).astype(jnp.float32)   # exact < 2^24
+        slot_blocks = []
+        for s0 in range(0, w, _SLOT_BLK):
+            r_iota = jax.lax.broadcasted_iota(
+                jnp.int32, (1, _SLOT_BLK, bsz), 1) + s0
+            oh = selected[:, None, :] \
+                & (rank[:, None, :] == r_iota.astype(jnp.float32))
+            slot_blocks.append(
+                jnp.sum(jnp.where(oh, code_c[:, None, :], 0.0), axis=0))
+        slot_code = jnp.concatenate(slot_blocks, axis=0).astype(jnp.int32)
+        top_idx = jax.lax.shift_right_logical(slot_code, 1)  # cand row id
+        dead_sel = (slot_code & 1) == 1
 
     is_stay = top_idx < w
     ext_flat = jnp.maximum(top_idx - w, 0)
@@ -409,40 +639,50 @@ def _beam_kernel(lens_ref, lp_ref, toplp_ref, topci_ref, *rest,
         c_idx = ext_flat % k_c
     sel_parent = jnp.where(is_stay, jnp.minimum(top_idx, w - 1),
                            ext_parent)                       # (W, B)
+    # pad slots (w_live rounded up to the 8-sublane tile) are always dead
+    if w_live < w:
+        dead_sel = dead_sel | (row_w >= w_live)
 
-    # ---- parent-state select: one-hot over the W parents ----
-    psel = sel_parent[:, None, :] == jax.lax.broadcasted_iota(
-        jnp.int32, (1, w, bsz), 1)                           # (W, W, B)
+    # ---- parent-state select: one-hot over the W parents, in slot-row
+    # blocks so no (W, W, B) temporary materializes at wide W ----
+    ufields = [h1, h2, wh1, wh2] + [h for pair in ctx for h in pair]
+    ffields = [pb, pnb, lmsc] + bos \
+        + [stay_pb, stay_pnb_m, sw] + new_bos
+    ifields = (last, plen)
+    sblk = w if w <= _SMALL_W else _SLOT_BLK
+    if "psel" in ablate:        # timing ablation: identity parent select
+        usel, fsel = list(ufields), list(ffields)
+        p_last, p_plen = ifields
+    else:
+        iota_p = jax.lax.broadcasted_iota(jnp.int32, (1, w, bsz), 1)
+        uouts = [[] for _ in ufields]
+        fouts = [[] for _ in ffields]
+        iouts = [[] for _ in ifields]
+        for s0 in range(0, w, sblk):
+            pblk = sel_parent[s0:s0 + sblk][:, None, :] == iota_p
+            for li, f in enumerate(ufields):
+                uouts[li].append(_i32sum_onehot(pblk, f[None], axis=1))
+            for li, f in enumerate(ffields):
+                fouts[li].append(
+                    jnp.sum(jnp.where(pblk, f[None], 0.0), axis=1))
+            for li, f in enumerate(ifields):
+                iouts[li].append(
+                    jnp.sum(jnp.where(pblk, f[None], 0), axis=1))
 
-    def selu(field):                                          # u32 (W, B)
-        return _i32sum_onehot(psel, field[None], axis=1)
+        def cat(parts):
+            return parts[0] if len(parts) == 1 else \
+                jnp.concatenate(parts, 0)
 
-    def self_(field):                                         # f32
-        return jnp.sum(jnp.where(psel, field[None], 0.0), axis=1)
-
-    def seli(field):                                          # i32
-        return jnp.sum(jnp.where(psel, field[None], 0), axis=1)
-
-    p_h1 = selu(h1)
-    p_h2 = selu(h2)
-    p_pb = self_(pb)
-    p_pnb = self_(pnb)
-    p_lm = self_(lmsc)
-    p_last = seli(last)
-    p_plen = seli(plen)
-    p_wh1 = selu(wh1)
-    p_wh2 = selu(wh2)
-    p_c1h1 = selu(c1h1)
-    p_c1h2 = selu(c1h2)
-    p_c2h1 = selu(c2h1)
-    p_c2h2 = selu(c2h2)
-    p_bo1 = self_(bo1)
-    p_bo2 = self_(bo2)
-    p_staypb = self_(stay_pb)
-    p_staypnbm = self_(stay_pnb_m)
-    p_sw = self_(sw)
-    p_wbo = self_(w_bo)
-    p_cwbo = self_(cw_bo)
+        usel = [cat(o) for o in uouts]
+        fsel = [cat(o) for o in fouts]
+        p_last, p_plen = [cat(o) for o in iouts]
+    p_h1, p_h2, p_wh1, p_wh2 = usel[:4]
+    p_ctx = [(usel[4 + 2 * j], usel[4 + 2 * j + 1]) for j in range(n_ctxw)]
+    p_c1h1, p_c1h2 = p_ctx[0]
+    p_pb, p_pnb, p_lm = fsel[:3]
+    p_bos = fsel[3 : 3 + n_bo]
+    p_staypb, p_staypnbm, p_sw = fsel[3 + n_bo : 6 + n_bo]
+    p_newbos = fsel[6 + n_bo : 6 + 2 * n_bo]
 
     # ---- extension payload recompute (mirrors device_beam.py) ----
     c_oh = c_idx[:, None, :] == jax.lax.broadcasted_iota(
@@ -476,14 +716,17 @@ def _beam_kernel(lens_ref, lp_ref, toplp_ref, topci_ref, *rest,
     new_wh2 = jnp.where(is_stay | is_space_ext,
                         jnp.where(is_space_ext, zu, p_wh2),
                         p_wh2 * jnp.uint32(P2) + cplus)
-    new_c1h1 = jnp.where(shift_w, p_wh1, p_c1h1)
-    new_c1h2 = jnp.where(shift_w, p_wh2, p_c1h2)
-    new_c2h1 = jnp.where(shift_w, p_c1h1, p_c2h1)
-    new_c2h2 = jnp.where(shift_w, p_c1h2, p_c2h2)
-    new_bo1 = jnp.where(shift_w, p_wbo, p_bo1)
-    new_bo2 = jnp.where(shift_w, p_cwbo, p_bo2)
+    # completed-word context shift: c_1 <- w, c_j <- c_{j-1}
+    new_ctx = [(jnp.where(shift_w, p_wh1, p_c1h1),
+                jnp.where(shift_w, p_wh2, p_c1h2))]
+    for j in range(1, n_ctxw):
+        new_ctx.append((jnp.where(shift_w, p_ctx[j - 1][0], p_ctx[j][0]),
+                        jnp.where(shift_w, p_ctx[j - 1][1],
+                                  p_ctx[j][1])))
+    new_bo_vals = [jnp.where(shift_w, p_newbos[j], p_bos[j])
+                   for j in range(n_bo)]
 
-    dead = top_val <= NEG / 2
+    dead = dead_sel
     new_h1 = jnp.where(dead, poison1, new_h1)
     new_h2 = jnp.where(dead, poison2, new_h2)
     new_pb = jnp.where(dead, NEG, new_pb)
@@ -512,12 +755,11 @@ def _beam_kernel(lens_ref, lp_ref, toplp_ref, topci_ref, *rest,
     plen_s[...] = frz(new_plen, plen)
     wh1_s[...] = frz(new_wh1, wh1)
     wh2_s[...] = frz(new_wh2, wh2)
-    c1h1_s[...] = frz(new_c1h1, c1h1)
-    c1h2_s[...] = frz(new_c1h2, c1h2)
-    c2h1_s[...] = frz(new_c2h1, c2h1)
-    c2h2_s[...] = frz(new_c2h2, c2h2)
-    bo1_s[...] = frz(new_bo1, bo1)
-    bo2_s[...] = frz(new_bo2, bo2)
+    for j in range(n_ctxw):
+        ctx_s[j][0][...] = frz(new_ctx[j][0], ctx[j][0])
+        ctx_s[j][1][...] = frz(new_ctx[j][1], ctx[j][1])
+    for j in range(n_bo):
+        bo_s[j][...] = frz(new_bo_vals[j], bos[j])
 
     def u(x):
         return jax.lax.bitcast_convert_type(x, jnp.uint32)
@@ -527,19 +769,14 @@ def _beam_kernel(lens_ref, lp_ref, toplp_ref, topci_ref, *rest,
     fin_ref[F_LM] = u(lm_s[...])
     fin_ref[F_WH1] = wh1_s[...]
     fin_ref[F_WH2] = wh2_s[...]
-    fin_ref[F_C1H1] = c1h1_s[...]
-    fin_ref[F_C1H2] = c1h2_s[...]
-    fin_ref[F_C2H1] = c2h1_s[...]
-    fin_ref[F_C2H2] = c2h2_s[...]
-    fin_ref[F_BO1] = u(bo1_s[...])
-    fin_ref[F_BO2] = u(bo2_s[...])
+    for j in range(n_ctxw):
+        fin_ref[F_CTX + 2 * j] = ctx_s[j][0][...]
+        fin_ref[F_CTX + 2 * j + 1] = ctx_s[j][1][...]
+    for j in range(n_bo):
+        fin_ref[F_BO + j] = u(bo_s[j][...])
     fin_ref[F_PLEN] = u(plen_s[...])
 
 
-@functools.partial(
-    jax.jit, static_argnames=("beam_width", "blank", "max_len", "alpha",
-                              "beta", "cutoff_top_n", "space", "unk_logp",
-                              "interpret", "lm_chunk"))
 def pallas_beam_search(
     log_probs: jnp.ndarray,
     lengths: jnp.ndarray,
@@ -555,12 +792,48 @@ def pallas_beam_search(
     max_len: int = 0,
     interpret: bool = False,
     lm_chunk: Optional[int] = None,
+    ablate: str = "",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(B, T, V+1) log-probs -> (prefixes (B, L), lens (B,)).
 
     Kernel-fused equivalent of device_beam_search for the canonical
-    (space-normalized) identity with optional dense word-LM fusion.
+    (space-normalized) identity with optional dense word-LM fusion
+    (order <= 5 — the reference's full artifact range). `ablate` is a
+    compile-time timing knob ("lm"/"merge"/"thresh"/"psel"/"body") that
+    stubs a kernel section for per-section cost attribution — it breaks
+    decode semantics and exists only for tools/ablate_wide_beam.py.
     """
+    lm_order = int(dense_lm.order) if dense_lm is not None else 0
+    return _pallas_beam_jit(
+        log_probs, lengths, dense_lm, blank=blank, beam_width=beam_width,
+        cutoff_top_n=cutoff_top_n, unk_logp=unk_logp, alpha=alpha,
+        beta=beta, space=space, max_len=max_len, interpret=interpret,
+        lm_chunk=lm_chunk, ablate=ablate, lm_order=lm_order)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("beam_width", "blank", "max_len", "alpha",
+                              "beta", "cutoff_top_n", "space", "unk_logp",
+                              "interpret", "lm_chunk", "ablate",
+                              "lm_order"))
+def _pallas_beam_jit(
+    log_probs: jnp.ndarray,
+    lengths: jnp.ndarray,
+    dense_lm: Optional[DenseLM],
+    *,
+    blank: int,
+    beam_width: int,
+    cutoff_top_n: int,
+    unk_logp: float,
+    alpha: float,
+    beta: float,
+    space: int,
+    max_len: int,
+    interpret: bool,
+    lm_chunk: Optional[int],
+    ablate: str,
+    lm_order: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
     from vietasr_tpu.ops.device_beam import reconstruct_best_path
     from vietasr_tpu.utils.typing import assert_log_probs
 
@@ -570,9 +843,18 @@ def pallas_beam_search(
         raise ValueError("pallas_beam_search requires the space label id")
     bsz, t_max, v1 = log_probs.shape
     v = v1 - 1
-    w = beam_width
+    # internal width pads to the 8-sublane tile; the extra slots are kept
+    # permanently dead (poisoned hash, NEG score) so results are identical
+    # to the requested beam_width
+    w = (beam_width + 7) // 8 * 8
     k_c = v if cutoff_top_n <= 0 or cutoff_top_n >= v else cutoff_top_n
     l_max = max_len or t_max
+    n_kill_words = (v + 31) // 32
+    # word-LM context width scales with the LM order (device_beam.py);
+    # without an LM only c_1 is tracked for the separator logic
+    n_ctxw = max(lm_order - 1, 1)
+    n_bo = max(lm_order - 1, 0)
+    f_bo, f_plen, n_fin = _fin_rows(n_ctxw, n_bo)
 
     lp_t = jnp.transpose(log_probs, (1, 2, 0))               # (T, V1, B)
     top_lp, top_ci = jax.lax.top_k(
@@ -597,17 +879,23 @@ def pallas_beam_search(
             level=jnp.pad(dense_lm.level, ((0, pad), (0, 0)),
                           constant_values=-1),
             unk_logp=dense_lm.unk_logp,
+            order=dense_lm.order,
         )
         n += pad
     kern = functools.partial(
-        _beam_kernel, w=w, k_c=k_c, v1=v1, blank=blank, space=space,
-        alpha=alpha, beta=beta, has_lm=has_lm, unk_logp=unk_logp,
-        lm_chunk=lm_chunk)
-    lm_specs = [
-        pl.BlockSpec((n, 1), lambda t: (0, 0), memory_space=pltpu.VMEM)
-        for _ in range(5)] if has_lm else []
+        _beam_kernel, w=w, w_live=beam_width, k_c=k_c, v1=v1, blank=blank,
+        space=space, alpha=alpha, beta=beta, has_lm=has_lm,
+        unk_logp=unk_logp, lm_chunk=lm_chunk, n_ctxw=n_ctxw, n_bo=n_bo,
+        ablate=ablate)
+    # LM table rides to HBM untouched; the kernel DMAs it to VMEM once
+    lm_specs = [pl.BlockSpec(memory_space=pl.ANY)
+                for _ in range(5)] if has_lm else []
     lm_args = ([dense_lm.key1, dense_lm.key2, dense_lm.logp, dense_lm.bo,
                 dense_lm.level] if has_lm else [])
+    lm_scratch = ([pltpu.VMEM((n, 1), jnp.uint32)] * 2
+                  + [pltpu.VMEM((n, 1), jnp.float32)] * 2
+                  + [pltpu.VMEM((n, 1), jnp.int32)]
+                  + [pltpu.SemaphoreType.DMA((5,))]) if has_lm else []
 
     bp, fin = pl.pallas_call(
         kern,
@@ -625,19 +913,24 @@ def pallas_beam_search(
         out_specs=[
             pl.BlockSpec((1, 2, w, bsz), lambda t: (t, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((N_FIN, w, bsz), lambda t: (0, 0, 0),
+            pl.BlockSpec((n_fin, w, bsz), lambda t: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((t_max, 2, w, bsz), jnp.int32),
-            jax.ShapeDtypeStruct((N_FIN, w, bsz), jnp.uint32),
+            jax.ShapeDtypeStruct((n_fin, w, bsz), jnp.uint32),
         ],
         scratch_shapes=(
             [pltpu.VMEM((w, bsz), jnp.uint32)] * 2      # h1 h2
             + [pltpu.VMEM((w, bsz), jnp.float32)] * 3   # pb pnb lm
             + [pltpu.VMEM((w, bsz), jnp.int32)] * 2     # last plen
-            + [pltpu.VMEM((w, bsz), jnp.uint32)] * 6    # word/ctx hashes
-            + [pltpu.VMEM((w, bsz), jnp.float32)] * 2   # bo1 bo2
+            + [pltpu.VMEM((w, bsz), jnp.uint32)] * 2    # word hashes
+            + [pltpu.VMEM((w, bsz), jnp.uint32)] * (2 * n_ctxw)  # ctx
+            + [pltpu.VMEM((w, bsz), jnp.float32)] * n_bo  # bo carries
+            + [pltpu.VMEM((w, bsz), jnp.uint32)] * 2    # merge b1 b2
+            + [pltpu.VMEM((w, bsz), jnp.float32)]       # merge p_tot
+            + [pltpu.VMEM((n_kill_words, w, bsz), jnp.uint32)]  # kills
+            + lm_scratch                                # VMEM LM + DMA sem
         ),
         interpret=interpret,
     )(lens2, lp_t, top_lp, top_ci, *lm_args)
@@ -648,10 +941,12 @@ def pallas_beam_search(
     total = _lse2(f32(F_PB), f32(F_PNB)) + f32(F_LM)         # (W, B)
     if has_lm:
         # finalization runs in plain XLA — no VMEM constraint, one pass
-        sw, _, _ = _word_lm_score_k(
-            dense_lm, unk_logp,
-            fin[F_C2H1], fin[F_C2H2], fin[F_C1H1], fin[F_C1H2],
-            fin[F_WH1], fin[F_WH2], f32(F_BO1), f32(F_BO2))
+        fctx = [(fin[F_CTX + 2 * j], fin[F_CTX + 2 * j + 1])
+                for j in range(n_ctxw)]
+        fbos = [f32(f_bo + j) for j in range(n_bo)]
+        sw, _ = _word_lm_score_k(
+            dense_lm, unk_logp, fctx, fin[F_WH1], fin[F_WH2], fbos,
+            lm_order)
         total = total + jnp.where(fin[F_WH1] != 0,
                                   alpha * sw + beta, 0.0)
     best = jnp.argmax(total, axis=0)                         # (B,)

@@ -137,10 +137,10 @@ class Transcriber:
         if self.opts.decoder == "device_beam":
             self._device_n_ctx = 2
             if self.opts.lm_path:
-                from vietasr_tpu.ops.lm import (NGramLM, SPACE_TOKEN,
-                                                char_lm_table, word_lm_tables)
+                from vietasr_tpu.ops.lm import (SPACE_TOKEN, char_lm_table,
+                                                load_lm, word_lm_tables)
 
-                lm = NGramLM(self.opts.lm_path)
+                lm = load_lm(self.opts.lm_path)   # ARPA or KenLM .binary
                 kind = self.opts.device_beam_lm
                 if kind == "auto":
                     specials = {"<s>", "</s>", "<unk>", SPACE_TOKEN}
