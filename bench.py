@@ -119,17 +119,22 @@ def conformer_flops_per_audio_second(cfg, seconds=SECONDS) -> float:
     return flops
 
 
-def _timeit(fn, *args, iters=10, trials=3, base=2):
+def _timeit_stats(fn, *args, iters=10, trials=3, base=2):
     """MARGINAL per-step time by chain difference: time `base` and
     `base + iters` back-to-back dispatches and divide the difference.
     The tunnel-attached chip charges a fixed ~40 ms dispatch+sync round
     trip per measured batch (measured via 3-vs-33-step chains); averaging
     it into a 5-iteration batch underreports sustained throughput by
     10-25%. The difference cancels it exactly — same trick as the MXU
-    canary. Best (not mean) of trials: contention windows slow everything
-    uniformly, the minimum is the uncontended rate. Syncs by PULLING the
-    first output leaf (block_until_ready does not reliably wait on the
-    tunnel backend; callers return a small leaf first)."""
+    canary. Syncs by PULLING the first output leaf (block_until_ready
+    does not reliably wait on the tunnel backend; callers return a small
+    leaf first).
+
+    Returns (best, median, trials): `best` pairs the fastest lo with the
+    fastest hi chain (contention windows slow everything uniformly, so
+    the minimum is the uncontended rate — the canonical value); `median`
+    is the median of per-trial marginals, emitted alongside so a
+    contended capture is self-evident from the best/median spread."""
     import jax
 
     def pull(out):
@@ -137,20 +142,25 @@ def _timeit(fn, *args, iters=10, trials=3, base=2):
 
     pull(fn(*args))                                  # compile + warm
 
-    def run(n):
-        best = float("inf")
-        for _ in range(trials):
-            t0 = time.perf_counter()
-            out = None
-            for _ in range(n):
-                out = fn(*args)
-            pull(out)
-            best = min(best, time.perf_counter() - t0)
-        return best
+    def run_once(n):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(n):
+            out = fn(*args)
+        pull(out)
+        return time.perf_counter() - t0
 
-    lo = run(base)
-    hi = run(base + iters)
-    return max((hi - lo) / iters, 1e-9)
+    lows = [run_once(base) for _ in range(trials)]
+    highs = [run_once(base + iters) for _ in range(trials)]
+    best = max((min(highs) - min(lows)) / iters, 1e-9)
+    per_trial = sorted(max((h - l) / iters, 1e-9)
+                       for h, l in zip(highs, lows))
+    median = per_trial[len(per_trial) // 2]
+    return best, median, trials
+
+
+def _timeit(fn, *args, **kw):
+    return _timeit_stats(fn, *args, **kw)[0]
 
 
 def _canary_tfs():
@@ -202,6 +212,13 @@ def wait_for_quiet_chip(min_tfs=60.0, max_wait_s=1500, poll_s=90):
     return tfs
 
 
+def _spread(work, dt_best, dt_median, trials):
+    """best/median throughput spread fields (VERDICT r2: a contended
+    capture must be self-evident from the recorded line itself)."""
+    return {"best": round(work / dt_best, 2),
+            "median": round(work / dt_median, 2), "trials": trials}
+
+
 def emit(metric, value, unit, vs_baseline=None, **extra):
     line = {"metric": metric, "value": round(float(value), 2), "unit": unit,
             "vs_baseline": round(vs_baseline, 2) if vs_baseline else None}
@@ -241,10 +258,11 @@ def measure_greedy(config_path, batch=BATCH):
     signal = jnp.asarray(rng.randn(batch, SECONDS * SR).astype(np.float32)
                          * 0.1)
     lengths = jnp.asarray(np.full((batch,), SECONDS * SR, np.int32))
-    dt = _timeit(lambda s, l: fwd(variables, s, l)[0], signal, lengths)
+    dt, med, trials = _timeit_stats(
+        lambda s, l: fwd(variables, s, l)[0], signal, lengths)
     throughput = batch * SECONDS / dt
     mfu = quartznet_flops_per_audio_second(cfg) * throughput / V5E_BF16_PEAK
-    return throughput, mfu
+    return throughput, mfu, _spread(batch * SECONDS, dt, med, trials)
 
 
 def measure_int8_greedy(config_path, batch=BATCH):
@@ -287,8 +305,9 @@ def measure_int8_greedy(config_path, batch=BATCH):
         preds = jnp.argmax(log_probs, axis=-1)
         return preds, enc_lens
 
-    dt = _timeit(lambda s, l: fwd(variables, s, l)[0], signal, lengths)
-    return batch * SECONDS / dt
+    dt, med, trials = _timeit_stats(
+        lambda s, l: fwd(variables, s, l)[0], signal, lengths)
+    return batch * SECONDS / dt, _spread(batch * SECONDS, dt, med, trials)
 
 
 # ---------------------------------------------------------------------------
@@ -296,7 +315,7 @@ def measure_int8_greedy(config_path, batch=BATCH):
 
 
 def measure_word_lm_beam(batch=BATCH, beam_width=16, cutoff_top_n=8,
-                         iters=3):
+                         iters=3, lm_order=3):
     import tempfile
 
     import jax
@@ -312,7 +331,7 @@ def measure_word_lm_beam(batch=BATCH, beam_width=16, cutoff_top_n=8,
 
     cfg = load_config(CONFIG)
     arpa = os.path.join(tempfile.mkdtemp(), "vi_word.arpa")
-    train_ngram_arpa(VI_CORPUS, arpa, order=3, char_level=False)
+    train_ngram_arpa(VI_CORPUS, arpa, order=lm_order, char_level=False)
     tables, probes = word_lm_tables(NGramLM(arpa), cfg.labels)
     unk = float(np.asarray(tables.unk_logp))
     dense_lm = dense_lm_from_tables(tables, unk)
@@ -343,7 +362,8 @@ def measure_word_lm_beam(batch=BATCH, beam_width=16, cutoff_top_n=8,
                 log_probs, enc_lens, beam_width=beam_width,
                 blank=cfg.num_classes, dense_lm=dense_lm, unk_logp=unk,
                 space=space, alpha=0.5, beta=1.5,
-                cutoff_top_n=cutoff_top_n)
+                cutoff_top_n=cutoff_top_n,
+                interpret=jax.default_backend() == "cpu")
         # wide beams: the XLA scan path (HBM-backed, W-unbounded)
         return device_beam_search(
             log_probs, enc_lens, blank=cfg.num_classes,
@@ -355,8 +375,9 @@ def measure_word_lm_beam(batch=BATCH, beam_width=16, cutoff_top_n=8,
     signal = jnp.asarray(rng.randn(batch, SECONDS * SR).astype(np.float32)
                          * 0.1)
     lengths = jnp.asarray(np.full((batch,), SECONDS * SR, np.int32))
-    dt = _timeit(lambda s, l: e2e(s, l)[0], signal, lengths, iters=iters)
-    return batch * SECONDS / dt
+    dt, med, trials = _timeit_stats(
+        lambda s, l: e2e(s, l)[0], signal, lengths, iters=iters)
+    return batch * SECONDS / dt, _spread(batch * SECONDS, dt, med, trials)
 
 
 # ---------------------------------------------------------------------------
@@ -392,10 +413,14 @@ def measure_longform_8khz():
     t = Transcriber(CONFIG, options=TranscriberOptions(max_batch=32))
     t.transcribe_long_batch(sigs[:1], signal_sr=sr8,
                             signal_encoding="ulaw")    # warmup / compile
-    t0 = time.perf_counter()
-    t.transcribe_long_batch(sigs, signal_sr=sr8, signal_encoding="ulaw")
-    dt = time.perf_counter() - t0
-    return n_utts * total_seconds / dt
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        t.transcribe_long_batch(sigs, signal_sr=sr8, signal_encoding="ulaw")
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    work = n_utts * total_seconds
+    return work / times[0], _spread(work, times[0], times[1], 3)
 
 
 # ---------------------------------------------------------------------------
@@ -442,19 +467,21 @@ def measure_conformer_train(batch=32, seconds=15, subsampling=None):
         new_state, metrics = train_step(state, batch_d, key)
         return metrics["loss"], new_state
 
-    dt = _timeit(step, state, iters=8)
+    dt, med, trials = _timeit_stats(step, state, iters=8)
     throughput = batch * seconds / dt
     # fwd + bwd ~ 3x forward FLOPs
     mfu = 3 * conformer_flops_per_audio_second(cfg) * throughput \
         / V5E_BF16_PEAK
-    return throughput, mfu
+    return throughput, mfu, _spread(batch * seconds, dt, med, trials)
 
 
-def measure_streaming_sessions(slots=64):
+def measure_streaming_sessions(slots=64, decoder="greedy"):
     """Concurrent real-time streaming capacity: the serve.streams.StreamPool
     advances `slots` live Conformer sessions with ONE vmapped step per
     0.64 s attention chunk. Capacity = slots * chunk_s / step_wall (how many
     real-time streams one chip sustains, host->device feed included).
+    `decoder="beam"` runs the pool with the streaming prefix-beam decoder
+    (the quality-default serving config) instead of greedy.
     The reference has no streaming serving at all (its demo buffers whole
     utterances, /root/reference/app.py:58-69)."""
     import jax
@@ -468,7 +495,7 @@ def measure_streaming_sessions(slots=64):
                                    "configs/conformer_ctc_vi_streaming.yaml"))
     variables = model_init(jax.random.PRNGKey(0), cfg)
     ot = ConformerOnlineTranscriber(cfg, variables)
-    pool = StreamPool(ot, slots=slots)
+    pool = StreamPool(ot, slots=slots, decoder=decoder)
     chunk_s = pool.chunk_samples / cfg.featurizer.sample_rate
 
     from vietasr_tpu.audio.g711 import ulaw_encode
@@ -480,14 +507,17 @@ def measure_streaming_sessions(slots=64):
         (rng.randn(pool.chunk_samples) * 3000).astype(np.int16))
         for s in range(slots)}             # G.711 mu-law wire format
     pool.feed(chunks)                      # compile + warm
-    best = np.inf
+    times = []
     for _ in range(3):
         t0 = time.perf_counter()
         iters = 5
         for _ in range(iters):
             pool.feed(chunks)
-        best = min(best, (time.perf_counter() - t0) / iters)
-    return slots * chunk_s / best, best
+        times.append((time.perf_counter() - t0) / iters)
+    times.sort()
+    best = times[0]
+    spread = _spread(slots * chunk_s, times[0], times[1], 3)
+    return slots * chunk_s / best, best, spread
 
 
 # ---------------------------------------------------------------------------
@@ -628,67 +658,92 @@ def main():
     emit("mxu_canary", canary, "TF/s",
          config="bf16 4096^3 matmul chain; quiet chip ~150+, "
                 "contended neighbor ~5-10 (gate for the metrics below)")
+    cn = round(canary, 1)    # stamped on every metric line
 
-    value, mfu = measure_greedy(CONFIG)
+    value, mfu, sp = measure_greedy(CONFIG)
     emit("greedy_inference_throughput_quartznet12x1_vi", value, "audio-s/s",
-         vs_baseline=value / baseline, mfu=round(mfu, 4),
-         config=f"B={BATCH}x{SECONDS}s bf16 W=1")
+         vs_baseline=value / baseline, mfu=round(mfu, 4), canary_tfs=cn,
+         **sp, config=f"B={BATCH}x{SECONDS}s bf16 W=1")
 
-    v_i8 = measure_int8_greedy(CONFIG)
+    v_i8, sp = measure_int8_greedy(CONFIG)
     emit("int8_greedy_inference_throughput_quartznet12x1_vi", v_i8,
-         "audio-s/s", vs_baseline=v_i8 / baseline,
+         "audio-s/s", vs_baseline=v_i8 / baseline, canary_tfs=cn, **sp,
          config=f"B={BATCH}x{SECONDS}s int8 pointwise GEMMs (per-channel "
                 "weights, static activation scales; TPU-native extension — "
                 "the reference serves fp32 CPU)")
 
-    beam = measure_word_lm_beam()
+    beam, sp = measure_word_lm_beam()
     emit("word_lm_beam_throughput_quartznet12x1_vi", beam, "audio-s/s",
-         vs_baseline=beam / baseline,
+         vs_baseline=beam / baseline, canary_tfs=cn, **sp,
          config="on-device Katz 3-gram word LM, W=16 cutoff=8 alpha=0.5 "
                 "beta=1.5 (our serving default; fused Pallas kernel — "
                 "LM hyperparams per reference infer.py:64-67)")
 
-    beam100 = measure_word_lm_beam(beam_width=100, iters=2)
+    beam5, sp = measure_word_lm_beam(lm_order=5)
+    emit("word_lm_beam_5gram_throughput_quartznet12x1_vi", beam5,
+         "audio-s/s", vs_baseline=beam5 / baseline, canary_tfs=cn, **sp,
+         config="W=16 with a 5-GRAM word LM fused on device (the "
+                "reference ships 3/4/5-gram KenLM binaries, "
+                ".MISSING_LARGE_BLOBS:4-6); order-deep Katz chain in the "
+                "fused kernel")
+
+    beam50, sp = measure_word_lm_beam(beam_width=50, iters=2)
+    emit("word_lm_beam_w50_throughput_quartznet12x1_vi", beam50,
+         "audio-s/s", vs_baseline=beam50 / baseline, canary_tfs=cn, **sp,
+         config="W=50 — the reference's web deploy width (app.py:27) — "
+                "fused Pallas kernel (blocked O(W^2) merge + threshold "
+                "select); reference beam is batch-1 host-pinned")
+
+    beam100, sp = measure_word_lm_beam(beam_width=100, iters=2)
     emit("word_lm_beam_w100_throughput_quartznet12x1_vi", beam100,
-         "audio-s/s", vs_baseline=beam100 / baseline,
-         config="W=100 — the reference's CLI deploy width "
-                "(infer.py:191; web uses 50, default 20) — via the "
-                "W-unbounded XLA scan path; reference beam is batch-1 "
-                "host-pinned")
+         "audio-s/s", vs_baseline=beam100 / baseline, canary_tfs=cn, **sp,
+         config="W=100 — the reference's CLI deploy width (infer.py:191) "
+                "— fused Pallas kernel (blocked O(W^2) merge + threshold "
+                "select); reference beam is batch-1 host-pinned")
 
-    v15, mfu15 = measure_greedy(CONFIG_15x5, batch=64)
+    v15, mfu15, sp = measure_greedy(CONFIG_15x5, batch=64)
     emit("greedy_batched_quartznet15x5", v15, "audio-s/s",
-         mfu=round(mfu15, 4), config=f"B=64x{SECONDS}s bf16")
+         mfu=round(mfu15, 4), canary_tfs=cn, **sp,
+         config=f"B=64x{SECONDS}s bf16")
 
-    lf = measure_longform_8khz()
+    lf, sp = measure_longform_8khz()
     emit("longform_8khz_chunked_streaming", lf, "audio-s/s",
+         canary_tfs=cn, **sp,
          config="real 8kHz call-center wav tiled to 300s, G.711 mu-law "
                 "wire bytes decoded + resampled on device, chunked greedy "
                 "(reference skips >10s, infer.py:201)")
 
-    tr, mfu_tr = measure_conformer_train()
+    tr, mfu_tr, sp = measure_conformer_train()
     emit("conformer_ctc_train_step", tr, "audio-s/s", mfu=round(mfu_tr, 4),
+         canary_tfs=cn, **sp,
          config="B=32x15s bf16 AdamW, full pipeline incl. featurizer + "
                 "SpecAugment + CTC loss, 1 chip (dp=1)")
 
-    tr_s, mfu_s = measure_conformer_train(subsampling="stack")
+    tr_s, mfu_s, sp = measure_conformer_train(subsampling="stack")
     emit("conformer_ctc_train_step_stack", tr_s, "audio-s/s",
-         mfu=round(mfu_s, 4),
+         mfu=round(mfu_s, 4), canary_tfs=cn, **sp,
          config="same, subsampling_mode=stack (frame stacking replaces the "
                 "conv2d subsampler — ~22% of the conv2d step is the "
                 "downsampler incl. its 246 MB bwd relayouts)")
 
-    sess, step_wall = measure_streaming_sessions()
+    sess, step_wall, sp = measure_streaming_sessions()
     emit("streaming_realtime_sessions_per_chip", sess, "sessions",
-         step_ms=round(step_wall * 1e3, 1),
+         step_ms=round(step_wall * 1e3, 1), canary_tfs=cn, **sp,
          config="64-slot StreamPool, chunked-causal Conformer (stack, "
                 "chunk 0.64s, 3.2s left context), one vmapped step/tick, "
                 "G.711 mu-law wire chunks decoded on chip, host feed "
                 "included (reference buffers whole utterances)")
 
+    sess_b, step_wall_b, sp = measure_streaming_sessions(decoder="beam")
+    emit("streaming_sessions_beam", sess_b, "sessions",
+         step_ms=round(step_wall_b * 1e3, 1), canary_tfs=cn, **sp,
+         config="same pool with the streaming prefix-BEAM decoder per "
+                "session (quality-default serving; greedy metric above "
+                "is the throughput-default)")
+
     n_chars, digest, n_wavs = golden_anchor()
     emit("golden_transcript_anchor", n_chars, "chars",
-         sha256=digest,
+         sha256=digest, canary_tfs=cn,
          config=f"fp32 greedy, {n_wavs} bundled wavs, real decoder ckpt "
                 "(STEP-289936) over seed-0 encoder")
 
