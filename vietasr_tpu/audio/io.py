@@ -11,9 +11,9 @@ libsndfile/librosa (not in this image):
 - trim_silence replicating librosa.effects.trim semantics: frame-level RMS
   vs max-RMS threshold at top_db (default 60, segment.py:28-29).
 
-MP3 is not supported in this environment (no ffmpeg); a clear error tells
-the caller to transcode (the reference shells out to ffmpeg via audioread,
-README.md:31).
+MP3 decodes through the system libmpg123 (audio/mp3.py ctypes binding);
+the reference shelled out to ffmpeg via audioread for this
+(README.md:31, infer.py:200).
 """
 
 from __future__ import annotations
@@ -92,7 +92,17 @@ def read_wav(path_or_bytes) -> Tuple[np.ndarray, int]:
         f = path_or_bytes if hasattr(path_or_bytes, "seek") \
             else open(path_or_bytes, "rb")
         try:
-            return _read_g711_wav(f)
+            try:
+                return _read_g711_wav(f)
+            except ValueError:
+                # Not any kind of RIFF: sniff for mp3 content so
+                # extension-less uploads (serve/app.py) still decode.
+                from vietasr_tpu.audio import mp3 as _mp3
+                f.seek(0)
+                blob = f.read()
+                if _mp3.looks_like_mp3(blob[:4]):
+                    return _mp3.decode_mp3(blob)
+                raise
         finally:
             if f is not path_or_bytes:
                 f.close()
@@ -110,10 +120,11 @@ def read_audio(path, *, target_sr: Optional[int] = None,
     resample -> optional trim."""
     p = str(path)
     if p.lower().endswith(".mp3"):
-        raise NotImplementedError(
-            "mp3 decode requires ffmpeg, which is not available in this "
-            "image; transcode to wav first")
-    samples, sr = read_wav(p)
+        from vietasr_tpu.audio.mp3 import decode_mp3
+        with open(p, "rb") as f:
+            samples, sr = decode_mp3(f.read())
+    else:
+        samples, sr = read_wav(p)
     if offset or duration:
         start = int(offset * sr)
         stop = start + int(duration * sr) if duration else len(samples)

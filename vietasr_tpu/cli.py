@@ -44,7 +44,10 @@ def cmd_transcribe(args) -> int:
     paths = []
     for target in args.audio:
         if os.path.isdir(target):
-            paths.extend(sorted(glob.glob(os.path.join(target, "*.wav"))))
+            # wav + mp3, like the reference CLI (infer.py:199-201)
+            paths.extend(sorted(
+                glob.glob(os.path.join(target, "*.wav"))
+                + glob.glob(os.path.join(target, "*.mp3"))))
         else:
             paths.append(target)
     if not paths:
