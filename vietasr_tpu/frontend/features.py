@@ -266,10 +266,17 @@ def log_mel_features(
 
 
 def make_featurizer(cfg: FeaturizerConfig):
-    """Bind the constant matrices and return featurize(signal, lengths, ...)."""
-    dft = jnp.asarray(_windowed_dft_matrix(cfg))
-    mel = jnp.asarray(
+    """Bind the constant matrices and return featurize(signal, lengths, ...).
+
+    The DFT/mel matrices are kept as HOST numpy arrays on purpose: a
+    jax.Array closure constant must be fetched device-to-host at jit
+    LOWERING time (mlir _array_mlir_constant_handler), which stalls every
+    cold compile of any program embedding the featurizer by a ~1.1 MB
+    round trip — and on a remote-attached chip that fetch can block
+    behind the very compile stream it sits in. Host constants embed
+    directly into the lowered module with no device traffic."""
+    dft = np.asarray(_windowed_dft_matrix(cfg), np.float32)
+    mel = np.asarray(
         mel_filterbank(cfg.sample_rate, cfg.fft_length, cfg.features,
-                       cfg.lowfreq, cfg.highfreq).T
-    )
+                       cfg.lowfreq, cfg.highfreq).T, np.float32)
     return partial(log_mel_features, cfg=cfg, dft_matrix=dft, mel_matrix=mel)

@@ -82,16 +82,18 @@ def mfcc_features(signal, lengths, *, cfg: FeaturizerConfig, dft_matrix,
 
 
 def make_spectrogram_featurizer(cfg: FeaturizerConfig):
-    dft = jnp.asarray(_windowed_dft_matrix(cfg))
+    # host numpy constants: see make_featurizer (features.py) — device-
+    # array closure constants stall jit lowering with a d2h fetch
+    dft = np.asarray(_windowed_dft_matrix(cfg), np.float32)
     return partial(spectrogram_features, cfg=cfg, dft_matrix=dft)
 
 
 def make_mfcc_featurizer(cfg: FeaturizerConfig, n_mfcc: int = 64):
-    dft = jnp.asarray(_windowed_dft_matrix(cfg))
-    mel = jnp.asarray(mel_filterbank(cfg.sample_rate, cfg.fft_length,
-                                     cfg.features, cfg.lowfreq,
-                                     cfg.highfreq).T)
-    dct = jnp.asarray(_dct_matrix(n_mfcc, cfg.features))
+    dft = np.asarray(_windowed_dft_matrix(cfg), np.float32)
+    mel = np.asarray(mel_filterbank(cfg.sample_rate, cfg.fft_length,
+                                    cfg.features, cfg.lowfreq,
+                                    cfg.highfreq).T, np.float32)
+    dct = np.asarray(_dct_matrix(n_mfcc, cfg.features), np.float32)
     return partial(mfcc_features, cfg=cfg, dft_matrix=dft, mel_matrix=mel,
                    dct=dct)
 
