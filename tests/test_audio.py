@@ -117,6 +117,20 @@ def test_dataset_and_bucket_batcher(manifest):
     assert len(shapes) <= len(batcher.buckets) + 2
 
 
+def test_batcher_steps_per_epoch_matches_iteration(manifest):
+    # the analytic count must equal the real yield count (num_shards=1),
+    # for both partial-batch modes — LR schedules are sized from it
+    tok = CharTokenizer(LABELS)
+    ds = AudioTextDataset(read_manifest(manifest), tok, sample_rate=16000)
+    for drop_last in (False, True):
+        b = BucketBatcher(ds, batch_size=2, max_duration=16.7, seed=3,
+                          drop_last=drop_last)
+        assert b.steps_per_epoch() == sum(1 for _ in b), drop_last
+    # and it must exceed the naive len//batch_size when bucketing splits
+    b13 = BucketBatcher(ds, batch_size=6, max_duration=16.7, seed=0)
+    assert b13.steps_per_epoch() >= max(len(ds) // 6, 1)
+
+
 def test_batcher_sharding(manifest):
     tok = CharTokenizer(LABELS)
     ds = AudioTextDataset(read_manifest(manifest), tok)

@@ -141,6 +141,30 @@ class BucketBatcher:
                 return bi
         return -1          # longer than the largest bucket
 
+    def steps_per_epoch(self) -> int:
+        """Batches one epoch of this shard yields, computed analytically
+        from manifest durations (no audio IO). Bucket assignment is
+        duration-based so this is shuffle-invariant, up to a ±1 rounding
+        per bucket in how the shuffled shard split lands; exact for
+        num_shards=1. LR schedules need this: len(ds)//batch_size
+        undercounts whenever bucketing splits an epoch into more,
+        smaller batches (a 13-utterance corpus in 3 buckets yields 3
+        batches/epoch, not 1 — so a cosine schedule sized from the
+        naive count hit lr=0 a third of the way into training)."""
+        counts = [0] * len(self.buckets)
+        for e in self.ds.entries:
+            bi = self._bucket_of(int(e.duration * self.ds.sample_rate))
+            if bi >= 0:
+                counts[bi] += 1
+        steps = 0
+        for c in counts:
+            c = c // self.num_shards + (1 if c % self.num_shards else 0)
+            if self.drop_last:
+                steps += c // self.batch_size
+            else:
+                steps += (c + self.batch_size - 1) // self.batch_size
+        return steps
+
     def __iter__(self) -> Iterator[Batch]:
         rng = np.random.RandomState(self.seed + self.epoch)
         idx = np.arange(len(self.ds))

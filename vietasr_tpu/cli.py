@@ -128,7 +128,7 @@ def cmd_train(args) -> int:
                             shard_id=topo["process_index"],
                             num_shards=topo["process_count"])
 
-    steps_per_epoch = max(len(ds) // args.batch_size, 1)
+    steps_per_epoch = max(batcher.steps_per_epoch(), 1)
     total = args.num_epochs * steps_per_epoch
     schedule = make_schedule(args.lr_policy, args.lr, total,
                              warmup_steps=args.warmup_steps)
