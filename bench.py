@@ -524,9 +524,21 @@ def measure_streaming_sessions(slots=64, decoder="greedy"):
 # correctness anchor
 
 
+ANCHOR_CKPT = os.path.join(HERE, "artifacts/real_speech_qn12x1_vi.msgpack.gz")
+ANCHOR_MANIFEST = os.path.join(HERE, "artifacts/real_speech_manifest.json")
+
+
 def golden_anchor():
-    """Deterministic fp32 greedy transcripts of the bundled wavs with the
-    REAL decoder checkpoint over a seed-0 encoder; sha256 anchors outputs."""
+    """Deterministic fp32 greedy transcripts of the bundled wavs.
+
+    With the committed TRAINED real-speech checkpoint
+    (artifacts/real_speech_qn12x1_vi.msgpack.gz, tools/export_anchor_ckpt.py)
+    the anchor is a CORRECTNESS check: transcripts are compared to the
+    manifest text (WER reported, expected 0.0 — the model memorizes the
+    13 real wavs, docs/real_speech_training.md) and the sha256 hashes
+    actually-correct Vietnamese. Fallback (artifact missing): the real
+    decoder checkpoint over a seed-0 encoder — determinism only."""
+    import gzip
     import hashlib
 
     import jax
@@ -545,8 +557,19 @@ def golden_anchor():
     cfg = load_config(CONFIG)
     variables = init_quartznet(jax.random.PRNGKey(0), cfg.encoder,
                                cfg.num_classes)
-    variables["params"]["decoder"] = decoder_from_state_dict(
-        load_torch_state_dict(DECODER_CKPT))
+    refs = None
+    if os.path.exists(ANCHOR_CKPT) and os.path.exists(ANCHOR_MANIFEST):
+        import flax.serialization
+
+        with gzip.open(ANCHOR_CKPT, "rb") as f:
+            variables = flax.serialization.msgpack_restore(f.read())
+        with open(ANCHOR_MANIFEST, encoding="utf-8") as f:
+            entries = [json.loads(l) for l in f]
+        refs = {os.path.basename(e["audio_filepath"]): e["text"]
+                for e in entries}
+    else:
+        variables["params"]["decoder"] = decoder_from_state_dict(
+            load_torch_state_dict(DECODER_CKPT))
     variables = fold_batchnorm(variables, cfg.encoder)
     featurize = make_featurizer(cfg.featurizer)
 
@@ -570,8 +593,14 @@ def golden_anchor():
     texts = [ids_to_text(ids, cfg.labels)
              for ids in collapse_batch(preds, keep)]
     joined = "\n".join(texts)
+    wer = None
+    if refs is not None:
+        from vietasr_tpu.train.metrics import word_error_rate
+
+        ref_texts = [refs.get(os.path.basename(w), "") for w in wavs]
+        wer = round(word_error_rate([t.strip() for t in texts], ref_texts), 4)
     return len(joined), hashlib.sha256(joined.encode()).hexdigest()[:16], \
-        len(wavs)
+        len(wavs), wer
 
 
 def measure_torch_cpu_baseline() -> float:
@@ -741,11 +770,17 @@ def main():
                 "session (quality-default serving; greedy metric above "
                 "is the throughput-default)")
 
-    n_chars, digest, n_wavs = golden_anchor()
-    emit("golden_transcript_anchor", n_chars, "chars",
-         sha256=digest, canary_tfs=cn,
-         config=f"fp32 greedy, {n_wavs} bundled wavs, real decoder ckpt "
-                "(STEP-289936) over seed-0 encoder")
+    n_chars, digest, n_wavs, wer = golden_anchor()
+    if wer is not None:
+        emit("golden_transcript_anchor", n_chars, "chars",
+             sha256=digest, canary_tfs=cn, wer=wer,
+             config=f"fp32 greedy, {n_wavs} bundled wavs, TRAINED "
+                    "real-speech ckpt (artifacts/, WER vs manifest text)")
+    else:
+        emit("golden_transcript_anchor", n_chars, "chars",
+             sha256=digest, canary_tfs=cn,
+             config=f"fp32 greedy, {n_wavs} bundled wavs, real decoder "
+                    "ckpt (STEP-289936) over seed-0 encoder")
 
 
 if __name__ == "__main__":
