@@ -38,6 +38,14 @@ class CheckpointManager:
 
     def save(self, state, step: Optional[int] = None) -> str:
         step = int(state.step) if step is None else int(step)
+        # ONE batched device->host transfer before serializing. flax's
+        # to_bytes walks the tree calling np.asarray per leaf — hundreds
+        # of sequential d2h round trips, each paying full link latency on
+        # a remote-attached chip (measured: minutes per save mid-training,
+        # faulthandler pinned at serialization.py _np_convert_in_place ->
+        # array._value). device_get issues every copy up front and
+        # overlaps them; the serializer then sees host arrays.
+        state = jax.device_get(state)
         data = flax.serialization.to_bytes(state)
         path = self._path(step)
         tmp = path + ".tmp"
