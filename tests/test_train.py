@@ -184,11 +184,37 @@ def test_nan_guard_skips_update():
     bad["signal"] = batch["signal"].at[0, 0].set(jnp.nan)
     p_before = state.params["encoder"][0]["sub"][0]["dw_w"]
     state, metrics = step(state, bad, jax.random.PRNGKey(0))
-    assert not np.isfinite(float(metrics["loss"]))
+    # per-sample masking may leave the LOSS finite; the guard trips on
+    # the NaN gradient (surfaced as grad_norm=inf) and skips the update
+    assert not np.isfinite(float(metrics["grad_norm"]))
     assert int(state.skipped_steps) == 1
     np.testing.assert_array_equal(
         np.asarray(state.params["encoder"][0]["sub"][0]["dw_w"]),
         np.asarray(p_before))
+
+
+def test_infeasible_sample_masked_not_step_skipped():
+    """A CTC-infeasible row (labels longer than encoder frames) must be
+    masked PER SAMPLE — torch CTCLoss(zero_infinity=True) semantics — so
+    the rest of the batch still trains; the step must NOT be skipped."""
+    cfg = tiny_config()
+    opt = make_optimizer("sgd", 0.01)
+    variables = init_quartznet(jax.random.PRNGKey(0), cfg.encoder,
+                               cfg.num_classes)
+    state = TrainState.create(variables, opt)
+    step = jax.jit(make_train_step(cfg, opt, use_specaug=False))
+    batch = dict(batch_to_arrays(SynthBatch(np.random.RandomState(0))))
+    # make row 0 infeasible: full-length label string, 2-frame audio
+    batch["signal_lens"] = batch["signal_lens"].at[0].set(320)
+    batch["token_lens"] = batch["token_lens"].at[0].set(
+        batch["tokens"].shape[1])
+    p_before = np.asarray(state.params["encoder"][0]["sub"][0]["dw_w"])
+    state, metrics = step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(metrics["loss"]) < 1e25
+    assert int(state.skipped_steps) == 0
+    assert not np.array_equal(
+        np.asarray(state.params["encoder"][0]["sub"][0]["dw_w"]), p_before)
 
 
 def test_grad_accum_matches_full_batch():

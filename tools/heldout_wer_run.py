@@ -210,7 +210,18 @@ def phase_corpus(work_dir: str, n_train: int, n_heldout: int,
         sig = np.concatenate(parts[:-1])
         if aug:
             sig = augment(sig, SR).astype(np.float32)
-        return sig, " ".join(words)
+        text = " ".join(words)
+        # CTC feasibility at 4x subsampling (conformer): the label string
+        # needs >= L + adjacent-repeats output frames; pad tail silence
+        # so every architecture can emit it (without this, short cuts
+        # made whole batches infeasible for the 4x models and per-sample
+        # masking threw those samples away)
+        need = len(text) + sum(a == b for a, b in zip(text, text[1:])) + 8
+        need_samples = need * 4 * 160
+        if len(sig) < need_samples:
+            sig = np.concatenate(
+                [sig, np.zeros(need_samples - len(sig), np.float32)])
+        return sig, text
 
     for split, count, aug in [("train", n_train, True),
                               ("heldout", n_heldout, False)]:
@@ -313,6 +324,9 @@ def phase_eval(work_dir: str, config: str, tag: str) -> None:
 
 
 def main():
+    from vietasr_tpu.utils.env import enable_compilation_cache
+    enable_compilation_cache()
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--phase", required=True,
                     choices=["align", "cut", "corpus", "train", "eval"])

@@ -86,8 +86,16 @@ def make_loss_fn(cfg: ModelConfig, *, use_specaug: bool = True,
         per_sample = ctc_loss(log_probs, batch["tokens"], enc_lens,
                               batch["token_lens"], blank=blank,
                               reduction="none", impl=ctc_impl)
-        # padded rows (signal_lens == 0) carry no loss
-        valid = batch["signal_lens"] > 0
+        # padded rows (signal_lens == 0) carry no loss; CTC-INFEASIBLE
+        # rows (enc_lens too short for the label string — loss is the
+        # ~1e30 NEG_INF sentinel, ops/ctc_loss.py) are masked PER SAMPLE,
+        # torch's CTCLoss(zero_infinity=True) semantics (the reference's
+        # effective behavior) — otherwise one short utterance poisons the
+        # whole batch mean and the train-step NaN guard skips the entire
+        # step: a corpus with a few infeasible samples learns NOTHING
+        # while loss prints ~k/B * 1e30.
+        valid = (batch["signal_lens"] > 0) \
+            & jnp.isfinite(per_sample) & (per_sample < 1e25)
         per_sample = jnp.where(valid, per_sample, 0.0)
         loss = jnp.sum(per_sample) / jnp.maximum(jnp.sum(valid), 1)
         return loss, (new_stats, log_probs, enc_lens)
@@ -135,10 +143,12 @@ def make_train_step(
             (loss, (new_stats, _, _)), grads = grad_fn(
                 state.params, state.batch_stats, batch, rng, True)
 
-        # NaN/inf guard; also catches CTC-infeasible samples, whose loss is
-        # a large finite sentinel (~1e30, ops/ctc_loss.py NEG_INF) rather
-        # than torch's inf
-        finite = jnp.isfinite(loss) & (loss < 1e25)
+        # NaN/inf guard. Infeasible-sample sentinels are masked per sample
+        # in make_loss_fn, so a masked-NaN row can leave loss finite while
+        # grads are NaN (the row still leaks into BN batch stats and the
+        # where-VJP turns 0 * NaN into NaN) — guard on grad norm too.
+        grad_norm = optax.global_norm(grads)
+        finite = jnp.isfinite(loss) & (loss < 1e25) & jnp.isfinite(grad_norm)
         safe_grads = jax.tree_util.tree_map(
             lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads)
         updates, new_opt_state = optimizer.update(
@@ -158,7 +168,7 @@ def make_train_step(
             + jnp.where(finite, 0, 1).astype(jnp.int32),
         )
         metrics = {"loss": loss,
-                   "grad_norm": optax.global_norm(safe_grads)}
+                   "grad_norm": jnp.where(finite, grad_norm, jnp.inf)}
         if lr_schedule is not None:
             metrics["lr"] = lr_schedule(state.step)
         return state, metrics
