@@ -682,6 +682,8 @@ def measure_torch_cpu_baseline() -> float:
 
 
 def main():
+    from vietasr_tpu.utils.env import enable_compilation_cache
+    enable_compilation_cache()   # reuse serialized executables across runs
     baseline = measure_torch_cpu_baseline()
     canary = wait_for_quiet_chip()
     emit("mxu_canary", canary, "TF/s",

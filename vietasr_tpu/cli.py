@@ -315,6 +315,8 @@ def main(argv=None) -> int:
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+    from vietasr_tpu.utils.env import enable_compilation_cache
+    enable_compilation_cache()
     return args.fn(args)
 
 

@@ -49,3 +49,24 @@ def get_envlist(key: str, *default, separator: str = " ") -> List[str]:
 
 def get_envdict(key: str, *default) -> dict:
     return get_env(key, *default, coerce=json.loads)
+
+
+def enable_compilation_cache(cache_dir: str = "") -> str:
+    """Turn on JAX's persistent compilation cache (idempotent).
+
+    On a remote-attached TPU every cold compile pays the full
+    compile-service round trip (minutes for big train steps on a
+    contended link); the persistent cache makes every later process —
+    CLI runs, tools, bench, tests — reuse serialized executables.
+    Honors JAX_COMPILATION_CACHE_DIR if the user already set one;
+    defaults to <repo>/.jax_cache next to this package. Returns the
+    directory used. Verified to work with the axon PJRT backend."""
+    import jax
+
+    cache_dir = (cache_dir or os.environ.get("JAX_COMPILATION_CACHE_DIR")
+                 or os.path.join(os.path.dirname(os.path.dirname(
+                     os.path.dirname(os.path.abspath(__file__)))),
+                     ".jax_cache"))
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    return cache_dir
