@@ -16,9 +16,12 @@ from vietasr_tpu.train.loop import batch_to_arrays
 from test_train import SynthBatch, tiny_config
 
 
-def test_infeasible_ctc_sample_skips_update():
-    """Target longer than the input emits a huge finite loss; the guard
-    must skip the step (the reference skips on torch's inf)."""
+def test_infeasible_ctc_sample_masked_not_skipped():
+    """Per-sample zero_infinity semantics (train/loop.py make_loss_fn): an
+    infeasible row (input too short for its label string) is masked out of
+    the batch loss, the rest of the batch still trains, and a batch that is
+    ENTIRELY infeasible yields exactly-zero grads (params unchanged) without
+    tripping the step-skip guard."""
     cfg = tiny_config()
     opt = make_optimizer("sgd", 0.01)
     from vietasr_tpu.models import model_init
@@ -31,11 +34,28 @@ def test_infeasible_ctc_sample_skips_update():
     bad["signal_lens"] = batch["signal_lens"].at[0].set(320)  # 2 frames
     bad["tokens"] = batch["tokens"].at[0].set(jnp.array([1, 1, 1]))
     bad["token_lens"] = batch["token_lens"].at[0].set(3)
-    p_before = state.params["decoder"]["b"]
+    p_before = np.asarray(state.params["decoder"]["b"])
     state, metrics = step(state, bad, jax.random.PRNGKey(0))
-    assert int(state.skipped_steps) == 1
-    np.testing.assert_array_equal(np.asarray(state.params["decoder"]["b"]),
-                                  np.asarray(p_before))
+    # the batch still trains: no skip, finite loss, params moved
+    assert int(state.skipped_steps) == 0
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(metrics["loss"]) < 1e25   # sentinel masked out of the mean
+    assert not np.array_equal(np.asarray(state.params["decoder"]["b"]),
+                              p_before)
+
+    # an all-infeasible batch contributes exactly zero gradient
+    state2 = TrainState.create(model_init(jax.random.PRNGKey(0), cfg), opt)
+    all_bad = dict(batch)
+    all_bad["signal_lens"] = jnp.full_like(batch["signal_lens"], 320)
+    all_bad["tokens"] = jnp.tile(jnp.array([1, 1, 1], batch["tokens"].dtype),
+                                 (batch["tokens"].shape[0], 1))[:, :batch["tokens"].shape[1]]
+    all_bad["token_lens"] = jnp.full_like(batch["token_lens"], 3)
+    p2_before = np.asarray(state2.params["decoder"]["b"])
+    state2, metrics2 = step(state2, all_bad, jax.random.PRNGKey(0))
+    assert int(state2.skipped_steps) == 0
+    assert float(metrics2["loss"]) == 0.0
+    np.testing.assert_array_equal(
+        np.asarray(state2.params["decoder"]["b"]), p2_before)
 
 
 def test_bucket_batcher_drops_overlong_audio(tmp_path):

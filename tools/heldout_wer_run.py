@@ -165,9 +165,6 @@ def cut_words(work_dir: str) -> None:
 
 def phase_corpus(work_dir: str, n_train: int, n_heldout: int,
                  seed: int = 0) -> None:
-    from vietasr_tpu.audio.augment import (AudioAugmentor, GainPerturbation,
-                                           SpeedPerturbation,
-                                           WhiteNoisePerturbation)
     from vietasr_tpu.audio.io import read_audio
 
     with open(os.path.join(work_dir, "word_bank.json"),
@@ -181,24 +178,18 @@ def phase_corpus(work_dir: str, n_train: int, n_heldout: int,
         return wav_cache[b["wav"]][b["lo"] : b["hi"]]
 
     rng = np.random.RandomState(seed)
-    # a RandomState serves both RNG styles the perturbations use
-    # (.uniform/.randint/.random and .randn for the noise source)
-    # always-on speed + frequent gain/noise: no training waveform repeats,
-    # so the model cannot key on exact utterance acoustics (the first cut
-    # of this corpus — 240 utts, p=0.5/0.5/0.3 — memorized whole
-    # utterances: train WER 0, held-out WER ~1.0)
-    augment = AudioAugmentor(perturbations=[
-        (1.0, SpeedPerturbation(min_speed_rate=0.9, max_speed_rate=1.1,
-                                rng=rng)),
-        (0.7, GainPerturbation(min_gain_dbfs=-6, max_gain_dbfs=6,
-                               rng=rng)),
-        (0.7, WhiteNoisePerturbation(min_level=-60, max_level=-38,
-                                     rng=rng)),
-    ], rng=rng)
+    # Both splits are written CLEAN. Round 3 baked one fixed augmented
+    # waveform per train utterance into the files; 60 epochs over 1,440
+    # FIXED waveforms let the 3M-param model memorize utterance-level
+    # acoustics (diagnosed round 4: train WER 0.000, held-out WER 1.000).
+    # Augmentation now happens ON THE FLY in the data layer
+    # (cli train --augment speed,gain,noise), a fresh perturbation per
+    # read, so no two epochs ever see the same waveform and the model has
+    # to key on the word cuts themselves.
 
     seen = set()
 
-    def make_utt(aug: bool):
+    def make_utt():
         while True:
             n = rng.randint(3, 9)
             idx = rng.randint(0, len(bank), size=n)
@@ -212,29 +203,28 @@ def phase_corpus(work_dir: str, n_train: int, n_heldout: int,
             parts.append(np.zeros(rng.randint(480, 1280), np.float32))
             words.append(bank[i]["text"])
         sig = np.concatenate(parts[:-1])
-        if aug:
-            sig = augment(sig, SR).astype(np.float32)
         text = " ".join(words)
         # CTC feasibility at 4x subsampling (conformer): the label string
         # needs >= L + adjacent-repeats output frames; pad tail silence
         # so every architecture can emit it (without this, short cuts
         # made whole batches infeasible for the 4x models and per-sample
-        # masking threw those samples away)
+        # masking threw those samples away). The 1.12 margin keeps the
+        # utterance feasible even after an on-the-fly 1.1x speed-UP
+        # shortens it.
         need = len(text) + sum(a == b for a, b in zip(text, text[1:])) + 8
-        need_samples = need * 4 * 160
+        need_samples = int(need * 4 * 160 * 1.12)
         if len(sig) < need_samples:
             sig = np.concatenate(
                 [sig, np.zeros(need_samples - len(sig), np.float32)])
         return sig, text
 
-    for split, count, aug in [("train", n_train, True),
-                              ("heldout", n_heldout, False)]:
+    for split, count in [("train", n_train), ("heldout", n_heldout)]:
         d = os.path.join(work_dir, split)
         os.makedirs(d, exist_ok=True)
         path = os.path.join(work_dir, f"{split}_manifest.json")
         with open(path, "w", encoding="utf-8") as f:
             for i in range(count):
-                sig, text = make_utt(aug)
+                sig, text = make_utt()
                 wav = os.path.join(d, f"utt{i:04d}.wav")
                 _write_wav(wav, sig)
                 f.write(json.dumps(
@@ -261,6 +251,7 @@ def phase_train(work_dir: str, config: str, tag: str, epochs: int,
         "--num-epochs", str(epochs), "--optimizer", "novograd",
         "--lr", str(lr), "--lr-policy", "CosineAnnealing",
         "--warmup-steps", str(epochs), "--compute-dtype", "bfloat16",
+        "--augment", "speed,gain,noise",     # on the fly, per read
         "--log-every", "50",
         "--eval-every", str(max(epochs // 4, 1)),
         "--checkpoint-every", str(max(epochs // 4, 1)),
@@ -297,6 +288,19 @@ def phase_eval(work_dir: str, config: str, tag: str) -> None:
         "offline_wer": round(word_error_rate(hyps, refs), 4),
         "offline_cer": round(word_error_rate(hyps, refs, use_cer=True), 4),
     }
+
+    # TRAIN-split WER on a sample (clean wavs, sequences seen in training):
+    # separates "didn't converge" (both ~1.0) from "memorized but didn't
+    # generalize" (train ~0, held-out ~1.0) — the round-3 study lacked
+    # this and its failure mode was ambiguous
+    with open(os.path.join(work_dir, "train_manifest.json"),
+              encoding="utf-8") as f:
+        tr_entries = [json.loads(l) for l in f][:64]
+    tr_refs = [e["text"] for e in tr_entries]
+    tr_sigs = [read_audio(e["audio_filepath"], target_sr=SR)[0]
+               for e in tr_entries]
+    tr_hyps = [h.strip() for h in t.transcribe_batch(tr_sigs)]
+    out["train_wer"] = round(word_error_rate(tr_hyps, tr_refs), 4)
 
     cfg = load_config(config)
     is_streaming_conformer = (

@@ -122,11 +122,20 @@ class BucketBatcher:
         shard_id: int = 0,
         num_shards: int = 1,
         max_token_len: Optional[int] = None,
+        bucket_margin: float = 1.0,
     ):
         self.ds = dataset
         self.batch_size = batch_size
         self.buckets = sorted(buckets or default_buckets(
             max_duration, dataset.sample_rate))
+        # with on-the-fly speed perturbation a waveform can come back up to
+        # 1/min_speed_rate longer than its manifest duration; margin > 1
+        # assigns buckets (and sizes them) for the worst case so the
+        # augmented signal is never cropped against its transcript
+        self.bucket_margin = float(bucket_margin)
+        if self.bucket_margin > 1.0:
+            self.buckets = [int(math.ceil(b * self.bucket_margin))
+                            for b in self.buckets]
         self.shuffle = shuffle
         self.seed = seed
         self.drop_last = drop_last
@@ -136,8 +145,12 @@ class BucketBatcher:
         self.epoch = 0
 
     def _bucket_of(self, n_samples: int) -> int:
+        # compare the worst-case POST-augmentation length against the
+        # (already margin-scaled) bucket bounds, so assignment stays safe
+        # for an utterance that lands near a boundary
+        n = int(math.ceil(n_samples * self.bucket_margin))
         for bi, b in enumerate(self.buckets):
-            if n_samples <= b:
+            if n <= b:
                 return bi
         return -1          # longer than the largest bucket
 

@@ -98,6 +98,45 @@ def _load_msgpack_variables(args):
     return variables
 
 
+def _build_augmentor(spec: str, seed: int = 0):
+    """`--augment speed,gain,noise[:p]` -> (AudioAugmentor, bucket_margin).
+
+    Probabilities default to the reference recipe's spirit (speed always
+    on; gain/noise/shift at 0.7). bucket_margin covers the worst-case
+    length growth (speed 0.9x -> 1/0.9 longer) so a slowed waveform is
+    never cropped against its transcript at the bucket boundary."""
+    import numpy as np
+
+    from vietasr_tpu.audio.augment import (AudioAugmentor, GainPerturbation,
+                                           ShiftPerturbation,
+                                           SpeedPerturbation,
+                                           WhiteNoisePerturbation)
+
+    rng = np.random.RandomState(seed)
+    margin = 1.0
+    perturbations = []
+    for item in spec.split(","):
+        name, _, p = item.partition(":")
+        name = name.strip().lower()
+        prob = float(p) if p else None
+        if name == "speed":
+            perturbations.append((prob if prob is not None else 1.0,
+                                  SpeedPerturbation(0.9, 1.1, rng=rng)))
+            margin = max(margin, 1.0 / 0.9)
+        elif name == "gain":
+            perturbations.append((prob if prob is not None else 0.7,
+                                  GainPerturbation(-6, 6, rng=rng)))
+        elif name == "noise":
+            perturbations.append((prob if prob is not None else 0.7,
+                                  WhiteNoisePerturbation(-60, -38, rng=rng)))
+        elif name == "shift":
+            perturbations.append((prob if prob is not None else 0.7,
+                                  ShiftPerturbation(rng=rng)))
+        else:
+            raise SystemExit(f"unknown --augment perturbation: {name!r}")
+    return AudioAugmentor(perturbations=perturbations, rng=rng), margin
+
+
 def cmd_train(args) -> int:
     import jax
 
@@ -118,15 +157,28 @@ def cmd_train(args) -> int:
     entries = read_manifest(args.train_manifest,
                             min_duration=cfg.data.min_duration,
                             max_duration=cfg.data.max_duration)
+    # ON-THE-FLY waveform augmentation (reference data-layer perturbation,
+    # perturb.py AudioAugmentor): a fresh random perturbation per READ, so
+    # no two epochs see the same waveform — baking augmentation into wav
+    # files once lets a model memorize utterance-level acoustics (the
+    # round-3 held-out study failed exactly this way: train WER 0, held-out
+    # WER 1.0 on a disk-fixed augmented corpus)
+    augmentor = None
+    bucket_margin = 1.0
+    if args.augment:
+        augmentor, bucket_margin = _build_augmentor(
+            args.augment, seed=args.seed + 1000 * topo["process_index"])
     ds = AudioTextDataset(entries, tok,
                           sample_rate=cfg.featurizer.sample_rate,
-                          trim=cfg.data.trim_silence)
+                          trim=cfg.data.trim_silence,
+                          augmentor=augmentor)
     # per-host manifest shard (reference DistributedSampler equivalent)
     batcher = BucketBatcher(ds, args.batch_size,
                             max_duration=cfg.data.max_duration or 16.7,
                             seed=args.seed,
                             shard_id=topo["process_index"],
-                            num_shards=topo["process_count"])
+                            num_shards=topo["process_count"],
+                            bucket_margin=bucket_margin)
 
     steps_per_epoch = max(batcher.steps_per_epoch(), 1)
     total = args.num_epochs * steps_per_epoch
@@ -270,6 +322,10 @@ def main(argv=None) -> int:
     p.add_argument("--weight-decay", type=float, default=0.001)
     p.add_argument("--grad-clip", type=float, default=None)
     p.add_argument("--grad-accum", type=int, default=1)
+    p.add_argument("--augment", default=None,
+                   help="on-the-fly waveform perturbations, e.g. "
+                        "'speed,gain,noise' or 'speed:1.0,gain:0.5' "
+                        "(reference data-layer perturb recipe)")
     p.add_argument("--compute-dtype", default=None,
                    choices=[None, "bfloat16", "float32"],
                    help="bf16 mixed precision (Apex AMP equivalent)")

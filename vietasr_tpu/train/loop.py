@@ -191,6 +191,36 @@ def make_eval_step(cfg: ModelConfig):
     return eval_step
 
 
+def _prefetch(iterable, depth: int = 2):
+    """Background-thread batch prefetch (the reference's DataLoader
+    num_workers equivalent, data_layer.py): audio decode + on-the-fly
+    augmentation run on the host while the device executes the previous
+    step, so per-read perturbation (cli --augment) never serializes
+    behind the train step. Worker exceptions re-raise at the consumer."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    done = object()
+
+    def worker():
+        try:
+            for item in iterable:
+                q.put(item)
+            q.put(done)
+        except BaseException as e:        # forwarded, not swallowed
+            q.put(e)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is done:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
 @dataclasses.dataclass
 class Trainer:
     """Epoch/step driver with callbacks, eval and checkpointing.
@@ -222,6 +252,8 @@ class Trainer:
     # "scan" | "pallas" | "auto" (pallas on a single TPU device, where the
     # fused kernel is ~1.3x and nothing needs to partition; scan otherwise)
     ctc_impl: str = "auto"
+    # background-thread batch prefetch depth (0 disables)
+    prefetch_depth: int = 2
 
     def __post_init__(self):
         dtype = jnp.dtype(self.compute_dtype) if self.compute_dtype else None
@@ -244,7 +276,9 @@ class Trainer:
         rng = train_rng(self.seed)
         for epoch in range(num_epochs):
             t_epoch = time.time()
-            for batch in batcher:
+            it = (_prefetch(iter(batcher), depth=self.prefetch_depth)
+                  if self.prefetch_depth > 0 else batcher)
+            for batch in it:
                 rng, step_rng = jax.random.split(rng)
                 t0 = time.time()
                 if self.profile_dir is not None \
