@@ -74,6 +74,8 @@ SANITY_SIZE = (MAGIC_PAD + 12 + 8 + 8 + 7) // 8 * 8   # 88
 FIXED_FMT = "<B3xfi B3x I"                      # order, mult, type, vocab?, ver
 FIXED_SIZE = struct.calcsize(FIXED_FMT)         # 20
 MODEL_PROBING = 0
+MODEL_TRIE = 2            # lm/model_type.hh: TRIE
+MODEL_QUANT_TRIE = 3      #                   QUANT_TRIE
 COMBINE = np.uint64(8978948897894561157)
 M64 = 0xFFFFFFFFFFFFFFFF
 
@@ -253,11 +255,70 @@ def write_kenlm_binary(lm, path: str, *,
 # reader
 
 
-def read_kenlm_binary(path: str) -> "KenLMBinary":
-    return KenLMBinary(path)
+def read_kenlm_binary(path: str):
+    """Open any supported KenLM `.binary`, dispatching on model_type:
+    PROBING(0) -> KenLMBinary, TRIE(2)/QUANT_TRIE(3) -> KenLMTrie
+    (ops/kenlm_trie.py); ARRAY tries (4/5, bhiksha-compressed pointers)
+    raise with a rebuild hint."""
+    with open(path, "rb") as f:
+        head = f.read(SANITY_SIZE + FIXED_SIZE)
+    if head[: len(MAGIC)] != MAGIC:
+        raise ValueError(f"{path}: not a KenLM binary (magic mismatch)")
+    _, _, mtype, _, _ = struct.unpack_from(FIXED_FMT, head, SANITY_SIZE)
+    if mtype == MODEL_PROBING:
+        return KenLMBinary(path)
+    if mtype in (MODEL_TRIE, MODEL_QUANT_TRIE):
+        from vietasr_tpu.ops.kenlm_trie import KenLMTrie
+        return KenLMTrie(path)
+    raise ValueError(
+        f"{path}: model_type={mtype} (ARRAY/bhiksha trie family) is not "
+        "supported; rebuild with 'build_binary probing' or 'build_binary "
+        "trie' (no -a), or supply the ARPA")
 
 
-class KenLMBinary:
+class KatzScorerMixin:
+    """Katz-backoff scoring over any exact-n-gram lookup backend.
+
+    Requires: self.order, self.word_id (str -> id), self.has_unk,
+    self._unk_log10() and self._lookup(ids) -> (log10 prob, log10 backoff)
+    or None. Scores in natural log, matching ops/lm.py NGramLM._score."""
+
+    def log_prob(self, word: str, context: Sequence[str] = ()) -> float:
+        from vietasr_tpu.ops.lm import SPACE_TOKEN
+
+        if word == " ":
+            word = SPACE_TOKEN
+        context = tuple(SPACE_TOKEN if w == " " else w for w in context)
+        context = context[-(self.order - 1):] if self.order > 1 else ()
+        return self._score_words(context + (word,))
+
+    def _score_words(self, ngram: Tuple[str, ...]) -> float:
+        ids = [self.word_id.get(w, 0) for w in ngram]
+        return self._score_ids(ids)
+
+    def _score_ids(self, ids: Sequence[int]) -> float:
+        hit = self._lookup(ids)
+        if hit is not None:
+            return hit[0] * LOG10
+        if len(ids) == 1:
+            if self.has_unk:
+                return self._unk_log10() * LOG10
+            return -1e30 / 2    # matches NGramLM's no-<unk> floor
+        ctx = self._lookup(ids[:-1])
+        bo = ctx[1] * LOG10 if ctx is not None else 0.0
+        return bo + self._score_ids(ids[1:])
+
+    def score_sentence(self, words: Sequence[str], *, bos: bool = True,
+                       eos: bool = True) -> float:
+        context: Tuple[str, ...] = (BOS,) if bos else ()
+        total = 0.0
+        for w in list(words) + ([EOS] if eos else []):
+            total += self.log_prob(w, context)
+            context = context + (w,)
+        return total
+
+
+class KenLMBinary(KatzScorerMixin):
     """Probing-binary scorer with the NGramLM interface (natural log)."""
 
     def __init__(self, path: str):
@@ -275,9 +336,9 @@ class KenLMBinary:
             FIXED_FMT, data, SANITY_SIZE)
         if mtype != MODEL_PROBING:
             raise ValueError(
-                f"{path}: model_type={mtype} is a TRIE-family binary; only "
-                "the PROBING format (build_binary default) is supported — "
-                "rebuild with 'build_binary probing' or supply the ARPA")
+                f"{path}: model_type={mtype} is not PROBING; use "
+                "read_kenlm_binary() which dispatches TRIE/QUANT_TRIE to "
+                "ops/kenlm_trie.KenLMTrie")
         off = SANITY_SIZE + FIXED_SIZE
         counts = struct.unpack_from(f"<{order}Q", data, off)
         off = _align8(off + 8 * order)
@@ -365,41 +426,8 @@ class KenLMBinary:
             return None
         return float(tab["prob"][slot]), float(tab["bo"][slot])
 
-    # -- NGramLM-compatible scoring (natural log) ----------------------------
-
-    def log_prob(self, word: str, context: Sequence[str] = ()) -> float:
-        from vietasr_tpu.ops.lm import SPACE_TOKEN
-
-        if word == " ":
-            word = SPACE_TOKEN
-        context = tuple(SPACE_TOKEN if w == " " else w for w in context)
-        context = context[-(self.order - 1):] if self.order > 1 else ()
-        return self._score_words(context + (word,))
-
-    def _score_words(self, ngram: Tuple[str, ...]) -> float:
-        ids = [self.word_id.get(w, 0) for w in ngram]
-        return self._score_ids(ids)
-
-    def _score_ids(self, ids: Sequence[int]) -> float:
-        hit = self._lookup(ids)
-        if hit is not None:
-            return hit[0] * LOG10
-        if len(ids) == 1:
-            if self.has_unk:
-                return float(self._uni_prob[0]) * LOG10    # <unk>
-            return -1e30 / 2    # matches NGramLM's no-<unk> floor
-        ctx = self._lookup(ids[:-1])
-        bo = ctx[1] * LOG10 if ctx is not None else 0.0
-        return bo + self._score_ids(ids[1:])
-
-    def score_sentence(self, words: Sequence[str], *, bos: bool = True,
-                       eos: bool = True) -> float:
-        context: Tuple[str, ...] = (BOS,) if bos else ()
-        total = 0.0
-        for w in list(words) + ([EOS] if eos else []):
-            total += self.log_prob(w, context)
-            context = context + (w,)
-        return total
+    def _unk_log10(self) -> float:
+        return float(self._uni_prob[0])    # <unk> is word id 0
 
     # -- full reconstruction for the table builders --------------------------
 

@@ -38,13 +38,15 @@ def _open(path: str):
 
 
 def load_lm(path: str) -> "NGramLM":
-    """Load an n-gram LM from EITHER an ARPA text file or a KenLM PROBING
-    `.binary` (sniffed by magic, like kenlm's own loader) — the reference
-    deploys binaries (beam_search_decoder.py:82-87, .MISSING_LARGE_BLOBS).
-    Binaries are reconstructed into the explicit word-keyed form so every
-    consumer (device tables, C++ tier, oracle) works unchanged; use
-    vietasr_tpu.ops.kenlm_binary.KenLMBinary directly for scoring huge
-    binaries without reconstruction."""
+    """Load an n-gram LM from an ARPA text file or a KenLM `.binary`
+    (sniffed by magic, like kenlm's own loader) — the reference deploys
+    binaries (beam_search_decoder.py:82-87, .MISSING_LARGE_BLOBS). Both
+    binary families are supported: PROBING (ops/kenlm_binary.py) and
+    TRIE/QUANT_TRIE (ops/kenlm_trie.py, bit-packed + quantized tables);
+    read_kenlm_binary dispatches on the header's model_type. Binaries are
+    reconstructed into the explicit word-keyed form so every consumer
+    (device tables, C++ tier, oracle) works unchanged; use the
+    KenLMBinary/KenLMTrie scorers directly for huge binaries."""
     from vietasr_tpu.ops.kenlm_binary import is_kenlm_binary, \
         read_kenlm_binary
 
