@@ -527,14 +527,19 @@ def measure_streaming_sessions(slots=64, decoder="greedy"):
     advances `slots` live Conformer sessions with ONE vmapped step per
     0.64 s attention chunk. Capacity = slots * chunk_s / step_wall (how many
     real-time streams one chip sustains, host->device feed included).
-    `decoder="beam"` runs the pool with the streaming prefix-beam decoder
-    (the quality-default serving config) instead of greedy.
+    `decoder="beam"` runs the pool's quality tier: the batched ON-DEVICE
+    beam (ops/streaming_beam.py) with fused word-LM shallow fusion, one
+    chunk step per tick next to the encoder step (the reference's quality
+    tier is a host batch-1 W=50 beam per request, app.py:27).
     The reference has no streaming serving at all (its demo buffers whole
     utterances, /root/reference/app.py:58-69)."""
+    import tempfile
+
     import jax
 
     from vietasr_tpu.config import load_config
     from vietasr_tpu.models import model_init
+    from vietasr_tpu.ops.lm import train_ngram_arpa
     from vietasr_tpu.serve.streams import StreamPool
     from vietasr_tpu.streaming_conformer import ConformerOnlineTranscriber
 
@@ -542,7 +547,11 @@ def measure_streaming_sessions(slots=64, decoder="greedy"):
                                    "configs/conformer_ctc_vi_streaming.yaml"))
     variables = model_init(jax.random.PRNGKey(0), cfg)
     ot = ConformerOnlineTranscriber(cfg, variables)
-    pool = StreamPool(ot, slots=slots, decoder=decoder)
+    lm_path = None
+    if decoder == "beam":
+        lm_path = os.path.join(tempfile.mkdtemp(), "vi_word.arpa")
+        train_ngram_arpa(VI_CORPUS, lm_path, order=3, char_level=False)
+    pool = StreamPool(ot, slots=slots, decoder=decoder, lm_path=lm_path)
     chunk_s = pool.chunk_samples / cfg.featurizer.sample_rate
 
     from vietasr_tpu.audio.g711 import ulaw_encode

@@ -149,9 +149,32 @@ def test_pool_alaw_wire_format(pool_setup):
         StreamPool(ot, slots=1, wire_encoding="opus")
 
 
-def test_pool_beam_decoder_with_word_lm(pool_setup, tmp_path):
-    """decoder='beam' + lm_path must reach the per-slot IncrementalBeam
-    (the CLI serve path: --stream-decoder beam --lm-path ...)."""
+def test_pool_beam_decoder_with_word_lm(tmp_path):
+    """decoder='beam' + lm_path builds the DEVICE beam with fused word-LM
+    tables (the CLI serve path: --stream-decoder beam --lm-path ...).
+    Needs a space label — word completion is what the LM scores."""
+    from vietasr_tpu.ops.lm import train_ngram_arpa
+
+    cfg, variables = small_model(normalize="", labels=("a", "b", "c", " "))
+    ot = OnlineTranscriber(cfg, variables, causal_norm=False)
+    arpa = tmp_path / "w.arpa"
+    words = [" ".join(cfg.labels[0] * 2 for _ in range(3))] * 4
+    train_ngram_arpa(words, str(arpa), order=3, char_level=False)
+    pool = StreamPool(ot, slots=2, chunk_samples=3200, decoder="beam",
+                      lm_path=str(arpa), beam_width=8,
+                      lm_alpha=0.4, lm_beta=1.0)
+    assert pool._dsb is not None
+    assert pool._dsb.word_lm is not None     # tables, not a host NGramLM
+    assert pool._dsb.alpha == 0.4 and pool._dsb.beta == 1.0
+    s = pool.open()
+    rng = np.random.RandomState(3)
+    for i in range(3):
+        pool.feed({s: (rng.randn(3200) * 0.1).astype(np.float32)})
+    assert isinstance(pool.close(s), str)
+
+
+def test_pool_beam_host_decoder_with_word_lm(pool_setup, tmp_path):
+    """decoder='beam_host' keeps the per-slot IncrementalBeam tier."""
     from vietasr_tpu.ops.lm import train_ngram_arpa
     from vietasr_tpu.serve.streams import IncrementalBeam
 
@@ -159,7 +182,7 @@ def test_pool_beam_decoder_with_word_lm(pool_setup, tmp_path):
     arpa = tmp_path / "w.arpa"
     words = [" ".join(cfg.labels[0] * 2 for _ in range(3))] * 4
     train_ngram_arpa(words, str(arpa), order=3, char_level=False)
-    pool = StreamPool(ot, slots=2, chunk_samples=3200, decoder="beam",
+    pool = StreamPool(ot, slots=2, chunk_samples=3200, decoder="beam_host",
                       lm_path=str(arpa), beam_width=8,
                       lm_alpha=0.4, lm_beta=1.0)
     assert pool._lm is not None

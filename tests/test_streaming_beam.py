@@ -63,6 +63,11 @@ def test_incremental_beam_revisions_consistent():
 
 
 def test_pool_with_beam_decoder():
+    """decoder='beam' is now the batched ON-DEVICE beam: the pool's final
+    transcript must equal the offline device beam over the emitted
+    frames (ops/streaming_beam.py carries state across chunks)."""
+    from vietasr_tpu.ops.device_beam import device_beam_transcripts
+
     cfg, variables = small_model(normalize="")
     ot = OnlineTranscriber(cfg, variables, causal_norm=False)
     pool = StreamPool(ot, slots=2, chunk_samples=3200, decoder="beam",
@@ -73,7 +78,27 @@ def test_pool_with_beam_decoder():
     slot = pool.open()
     for c in chunks:
         pool.feed({slot: c})
-    # must equal whole-stream beam decode of the emitted frames
+    frames = np.asarray(ot.stream(chunks))
+    space = cfg.labels.index(" ") if " " in cfg.labels else -1
+    want = device_beam_transcripts(
+        frames[None], np.array([frames.shape[0]], np.int32), cfg.labels,
+        impl="xla", beam_width=16, cutoff_top_n=8, space=space)
+    assert pool.close(slot) == want[0]
+
+
+def test_pool_with_host_beam_decoder():
+    """decoder='beam_host' keeps the legacy per-slot Python prefix beam
+    (parity tier)."""
+    cfg, variables = small_model(normalize="")
+    ot = OnlineTranscriber(cfg, variables, causal_norm=False)
+    pool = StreamPool(ot, slots=2, chunk_samples=3200, decoder="beam_host",
+                      beam_width=16)
+    rng = np.random.RandomState(0)
+    sig = (rng.randn(16000) * 0.1).astype(np.float32)
+    chunks = [sig[i:i + 3200] for i in range(0, 16000, 3200)]
+    slot = pool.open()
+    for c in chunks:
+        pool.feed({slot: c})
     frames = ot.stream(chunks)
     want = prefix_beam_search(frames, cfg.labels,
                               beam_width=16)

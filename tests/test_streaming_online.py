@@ -15,7 +15,7 @@ from vietasr_tpu.models import fold_batchnorm, init_quartznet, quartznet_apply
 from vietasr_tpu.streaming_online import OnlineTranscriber
 
 
-def small_model(normalize=""):
+def small_model(normalize="", labels=("a", "b", "c")):
     blocks = (
         BlockConfig(filters=16, repeat=1, kernel=9, stride=2, residual=False,
                     separable=True),
@@ -28,11 +28,12 @@ def small_model(normalize=""):
     feat = FeaturizerConfig(features=16, dither=0.0, normalize=normalize,
                             pad_to=1)
     cfg = ModelConfig(
-        name="s", labels=["a", "b", "c"], featurizer=feat,
+        name="s", labels=list(labels), featurizer=feat,
         encoder=EncoderConfig(blocks=blocks, feat_in=16),
         spec_augment=SpecAugmentConfig(), data=DataConfig())
     variables = fold_batchnorm(
-        init_quartznet(jax.random.PRNGKey(0), cfg.encoder, 3), cfg.encoder)
+        init_quartznet(jax.random.PRNGKey(0), cfg.encoder, len(labels)),
+        cfg.encoder)
     return cfg, variables
 
 

@@ -350,10 +350,13 @@ def main(argv=None) -> int:
     p.add_argument("--streaming", action="store_true",
                    help="enable real-time partial-result websocket sessions")
     p.add_argument("--stream-slots", type=int, default=8)
-    p.add_argument("--stream-decoder", choices=("greedy", "beam"),
+    p.add_argument("--stream-decoder",
+                   choices=("greedy", "beam", "beam_host"),
                    default="greedy",
-                   help="per-stream incremental decoder; beam emits "
-                        "\\r-prefixed revision partials")
+                   help="per-stream incremental decoder; beam (batched "
+                        "on-device, quality default) and beam_host "
+                        "(legacy per-slot Python) emit \\r-prefixed "
+                        "revision partials")
     p.add_argument("--beam-width", type=int, default=50)
     p.add_argument("--lm-path")
     p.add_argument("--lm-alpha", type=float, default=0.5)

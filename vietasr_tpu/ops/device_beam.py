@@ -111,6 +111,78 @@ _Q2 = jnp.uint32(40503)
 _KEY_SEED = jnp.uint32(1)
 
 
+# packed beam-state column layout (shared with ops/streaming_beam.py):
+# ALL per-beam scalars live in one (B, W, n_cols) uint32 tensor, f32
+# fields bitcast. Trailing columns past C_CTX scale with the word-LM
+# order (context hash pairs, then carried backoff weights).
+(C_H1, C_H2, C_PB, C_PNB, C_LM, C_LAST, C_ROW, C_PLEN,
+ C_WH1, C_WH2) = range(10)
+C_CTX = 10                       # pairs: c_j at (C_CTX+2j, C_CTX+2j+1)
+
+
+def packed_state_cols(word_lm: Optional["WordLMTables"]) -> int:
+    """Number of packed-state columns for a given word-LM config."""
+    wlm_levels = int(word_lm.masks.shape[0]) if word_lm is not None else 0
+    n_ctxw = max(wlm_levels - 1, 1)
+    n_bo = max(wlm_levels - 1, 0)
+    return C_CTX + 2 * n_ctxw + n_bo
+
+
+def init_packed_state(bsz: int, w: int,
+                      word_lm: Optional["WordLMTables"] = None
+                      ) -> jnp.ndarray:
+    """Fresh packed beam state: slot 0 is the live empty prefix, the rest
+    are dead with poisoned (unique, never-matching) hashes."""
+    f2u = partial(jax.lax.bitcast_convert_type, new_dtype=jnp.uint32)
+    n_cols = packed_state_cols(word_lm)
+    wlm_levels = int(word_lm.masks.shape[0]) if word_lm is not None else 0
+    n_bo = max(wlm_levels - 1, 0)
+    slot_poison = (jnp.uint32(0x80000000)
+                   + jnp.arange(w, dtype=jnp.uint32))
+    neg_bits = f2u(jnp.float32(NEG))
+    zero_bits = f2u(jnp.float32(0.0))
+    st0 = jnp.zeros((w, n_cols), jnp.uint32)
+    st0 = st0.at[:, C_H1].set(jnp.where(jnp.arange(w) == 0,
+                                        jnp.uint32(0), slot_poison))
+    st0 = st0.at[:, C_H2].set(jnp.where(jnp.arange(w) == 0,
+                                        jnp.uint32(0),
+                                        jnp.uint32(0xFFFFFFFF)))
+    st0 = st0.at[:, C_PB].set(jnp.where(jnp.arange(w) == 0,
+                                        zero_bits, neg_bits))
+    st0 = st0.at[:, C_PNB].set(neg_bits)
+    st0 = st0.at[:, C_LM].set(zero_bits)
+    n_ctxw = max(wlm_levels - 1, 1)
+    C_BO = C_CTX + 2 * n_ctxw
+    for j in range(n_bo):
+        st0 = st0.at[:, C_BO + j].set(zero_bits)
+    return jnp.broadcast_to(st0[None], (bsz, w, n_cols))
+
+
+def packed_beam_totals(st, *, word_lm=None, alpha=0.5, beta=0.0,
+                       wlm_probes=8):
+    """Per-beam total scores from a packed state — p_total + LM, plus the
+    trailing-partial-word bonus when a word LM is in play (identical to
+    device_beam_search's final ranking, factored out for the streaming
+    chunk step)."""
+    u2f = partial(jax.lax.bitcast_convert_type, new_dtype=jnp.float32)
+    total = _logsumexp2(u2f(st[..., C_PB]), u2f(st[..., C_PNB])) \
+        + u2f(st[..., C_LM])
+    if word_lm is not None:
+        wlm_levels = int(word_lm.masks.shape[0])
+        n_ctxw = max(wlm_levels - 1, 1)
+        n_bo = max(wlm_levels - 1, 0)
+        C_BO = C_CTX + 2 * n_ctxw
+        lm_dense = word_lm.packed.shape[0] <= 4096
+        wh1 = st[..., C_WH1]
+        fctx = [(st[..., C_CTX + 2 * j], st[..., C_CTX + 2 * j + 1])
+                for j in range(n_ctxw)]
+        fbos = [u2f(st[..., C_BO + j]) for j in range(n_bo)]
+        sw, _ = _word_lm_score(word_lm, wlm_probes, fctx, wh1,
+                               st[..., C_WH2], fbos, dense=lm_dense)
+        total = total + jnp.where(wh1 != 0, alpha * sw + beta, 0.0)
+    return total
+
+
 def _logsumexp2(a, b):
     m = jnp.maximum(a, b)
     safe = jnp.where(m <= NEG / 2, 0.0, m)
@@ -218,7 +290,8 @@ def _word_lm_score(tables: WordLMTables, probes: int,
 
 @partial(jax.jit, static_argnames=("beam_width", "blank", "max_len",
                                    "n_ctx", "alpha", "beta",
-                                   "cutoff_top_n", "space", "wlm_probes"))
+                                   "cutoff_top_n", "space", "wlm_probes",
+                                   "return_raw"))
 def device_beam_search(
     log_probs: jnp.ndarray,
     lengths: jnp.ndarray,
@@ -234,6 +307,8 @@ def device_beam_search(
     word_lm: Optional[WordLMTables] = None,
     wlm_probes: int = 8,
     space: int = -1,
+    carry_state: Optional[jnp.ndarray] = None,
+    return_raw: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(B, T, V+1) log-probs -> (prefixes (B, L), prefix_lens (B,)).
 
@@ -244,6 +319,11 @@ def device_beam_search(
     to the top-N tokens per frame (the reference's vocabulary pruning,
     beam_search_decoder.py:34-36) — it shrinks the per-step merge/top-k
     from W*(V+1) to W*(N+1) candidates, the dominant cost on TPU.
+
+    Streaming hooks (ops/streaming_beam.py): `carry_state` resumes the
+    scan from a packed (B, W, n_cols) beam state instead of the empty
+    prefix, and `return_raw=True` returns (final_state, parents, chars)
+    for the caller to carry across chunks and traceback incrementally.
     """
     from vietasr_tpu.utils.typing import assert_log_probs
 
@@ -276,9 +356,6 @@ def device_beam_search(
     wlm_levels = int(word_lm.masks.shape[0]) if word_lm is not None else 0
     n_ctxw = max(wlm_levels - 1, 1)
     n_bo = max(wlm_levels - 1, 0)
-    (C_H1, C_H2, C_PB, C_PNB, C_LM, C_LAST, C_ROW, C_PLEN,
-     C_WH1, C_WH2) = range(10)
-    C_CTX = 10                       # pairs: c_j at (C_CTX+2j, C_CTX+2j+1)
     C_BO = C_CTX + 2 * n_ctxw
     n_cols = C_BO + n_bo
 
@@ -289,25 +366,14 @@ def device_beam_search(
         return jax.lax.bitcast_convert_type(x, jnp.float32)
 
     # slot 0 is the live empty prefix, the rest are dead with poisoned
-    # (unique, never-matching) hashes
+    # (unique, never-matching) hashes; C_LAST stores last+1 (0 = none
+    # yet); word/context hashes start 0
     slot_poison = (jnp.uint32(0x80000000)
                    + jnp.arange(w, dtype=jnp.uint32))        # (W,)
-    neg_bits = f2u(jnp.float32(NEG))
-    zero_bits = f2u(jnp.float32(0.0))
-    st0 = jnp.zeros((w, n_cols), jnp.uint32)
-    st0 = st0.at[:, C_H1].set(jnp.where(jnp.arange(w) == 0,
-                                        jnp.uint32(0), slot_poison))
-    st0 = st0.at[:, C_H2].set(jnp.where(jnp.arange(w) == 0,
-                                        jnp.uint32(0),
-                                        jnp.uint32(0xFFFFFFFF)))
-    st0 = st0.at[:, C_PB].set(jnp.where(jnp.arange(w) == 0,
-                                        zero_bits, neg_bits))
-    st0 = st0.at[:, C_PNB].set(neg_bits)
-    st0 = st0.at[:, C_LM].set(zero_bits)
-    for j in range(n_bo):
-        st0 = st0.at[:, C_BO + j].set(zero_bits)
-    # C_LAST stores last+1 (0 = none yet); word/context hashes start 0
-    st = jnp.broadcast_to(st0[None], (bsz, w, n_cols))
+    if carry_state is not None:
+        st = carry_state
+    else:
+        st = init_packed_state(bsz, w, word_lm)
 
     rows_mod = (v + 1) ** max(n_ctx - 1, 0) if lm_table is not None else 1
 
@@ -560,22 +626,11 @@ def device_beam_search(
         return jnp.where(active, new_st, st), (bp_parent, bp_char)
 
     st, (parents, chars) = jax.lax.scan(step, st, jnp.arange(t_max))
-    p_b = u2f(st[..., C_PB])
-    p_nb = u2f(st[..., C_PNB])
-    lm_score = u2f(st[..., C_LM])
-    plen = st[..., C_PLEN].astype(jnp.int32)
-
-    total = _logsumexp2(p_b, p_nb) + lm_score
-    if word_lm is not None:
-        # trailing partial word scored like the oracle's best()
-        wh1 = st[..., C_WH1]
-        fctx = [(st[..., C_CTX + 2 * j], st[..., C_CTX + 2 * j + 1])
-                for j in range(n_ctxw)]
-        fbos = [u2f(st[..., C_BO + j]) for j in range(n_bo)]
-        sw, _ = _word_lm_score(
-            word_lm, wlm_probes, fctx, wh1, st[..., C_WH2], fbos,
-            dense=lm_dense)
-        total = total + jnp.where(wh1 != 0, alpha * sw + beta, 0.0)
+    if return_raw:
+        return st, parents, chars
+    # trailing partial word scored like the oracle's best()
+    total = packed_beam_totals(st, word_lm=word_lm, alpha=alpha, beta=beta,
+                               wlm_probes=wlm_probes)
     best = jnp.argmax(total, axis=1)                          # (B,)
     return reconstruct_best_path(parents, chars, best, w=w, bsz=bsz,
                                  t_max=t_max, l_max=l_max)

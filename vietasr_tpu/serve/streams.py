@@ -105,12 +105,51 @@ class StreamPool:
         self.chunk_samples = chunk_samples
         self.decoder_kind = decoder
         self._lm = None
-        if decoder == "beam" and lm_path:
+        if decoder == "beam_host" and lm_path:
+            # legacy host tier: one pure-Python StreamingPrefixBeam per
+            # slot (kept for parity testing; ~90x fewer sessions/chip
+            # than the device beam)
             from vietasr_tpu.ops.lm import NGramLM
 
             self._lm = NGramLM(lm_path)
         self._beam_kw = dict(beam_width=beam_width, lm=self._lm,
                              alpha=lm_alpha, beta=lm_beta)
+        self._dsb = None
+        if decoder == "beam" and lm_path \
+                and " " not in transcriber.cfg.labels:
+            # word-LM fusion needs a separator label to complete words;
+            # without one the device beam cannot apply it — keep the host
+            # prefix beam (which scores only the trailing partial) for
+            # this degenerate label set
+            decoder = self.decoder_kind = "beam_host"
+            from vietasr_tpu.ops.lm import NGramLM
+
+            self._lm = NGramLM(lm_path)
+            self._beam_kw["lm"] = self._lm
+        if decoder == "beam":
+            # quality-default serving tier: batched ON-DEVICE beam, state
+            # carried across chunks in device arrays — one vmapped beam
+            # step per tick next to the encoder step (the reference
+            # decodes every request with a host W=50 LM beam, app.py:27)
+            from vietasr_tpu.ops.streaming_beam import DeviceStreamingBeam
+
+            labels = transcriber.cfg.labels
+            word_lm = None
+            wlm_probes = 8
+            if lm_path:
+                from vietasr_tpu.ops.lm import load_lm, word_lm_tables
+
+                word_lm, wlm_probes = word_lm_tables(load_lm(lm_path),
+                                                     labels)
+            self._dsb = DeviceStreamingBeam(
+                blank=transcriber.cfg.num_classes, beam_width=beam_width,
+                space=labels.index(" ") if " " in labels else -1,
+                cutoff_top_n=8, word_lm=word_lm, alpha=lm_alpha,
+                beta=lm_beta, wlm_probes=wlm_probes,
+                skip_frames=transcriber.prefix_frames)
+            self.beam_carry = self._dsb.init(slots)
+            self._reset_beam_rows = jax.jit(self._dsb.reset_rows)
+            self._emitted: Dict[int, str] = {}
         # ONE jitted program per tick: vmapped step + masked state commit
         # (un-fed slots keep their state). Committing inside jit matters:
         # an eager tree_map of jnp.where over the ~dozens of state leaves
@@ -139,6 +178,24 @@ class StreamPool:
             return jax.tree_util.tree_map(commit, new_states, states), lp
 
         self._pool_step = jax.jit(pool_step)
+
+        if self._dsb is not None:
+            # beam tick: encoder + device beam chunk + masked commits,
+            # ONE jitted program (each eager op is a full-latency
+            # dispatch on a remote-attached chip)
+            def pool_step_beam(states, carry, batch, fed):
+                new_states, lp = pool_step(states, batch, fed)
+                carry2, best_ids, best_len = self._dsb.chunk(carry, lp)
+
+                def commit(new, old):
+                    mask = fed.reshape((fed.shape[0],)
+                                       + (1,) * (new.ndim - 1))
+                    return jnp.where(mask, new, old)
+
+                carry2 = jax.tree_util.tree_map(commit, carry2, carry)
+                return new_states, carry2, best_ids, best_len
+
+            self._pool_step_beam = jax.jit(pool_step_beam)
         single = transcriber.init_state()
         self.states = jax.tree_util.tree_map(
             lambda x: jnp.broadcast_to(x, (slots,) + x.shape), single)
@@ -156,21 +213,33 @@ class StreamPool:
             slot = self._free.pop()
             self._reset_slot(slot)
             if self.decoder_kind == "beam":
+                mask = np.zeros((self.slots,), bool)
+                mask[slot] = True
+                self.beam_carry = self._reset_beam_rows(
+                    self.beam_carry, jnp.asarray(mask))
+                self._emitted[slot] = ""
+            elif self.decoder_kind == "beam_host":
                 self.decoders[slot] = IncrementalBeam(
                     self.ot.cfg.labels, self.ot.cfg.num_classes,
                     **self._beam_kw)
+                self.skip[slot] = self.ot.prefix_frames
             else:
                 self.decoders[slot] = IncrementalGreedy(
                     self.ot.cfg.labels, self.ot.cfg.num_classes)
-            self.skip[slot] = self.ot.prefix_frames
+                self.skip[slot] = self.ot.prefix_frames
         return slot
 
     def close(self, slot: int) -> str:
         """Release a slot; returns its final transcript."""
-        text = self.decoders[slot].text if slot in self.decoders else ""
+        if self.decoder_kind == "beam":
+            text = self._emitted.get(slot, "")
+        else:
+            text = self.decoders[slot].text if slot in self.decoders else ""
         with self._lock:
             self.decoders.pop(slot, None)
             self.skip.pop(slot, None)
+            if self.decoder_kind == "beam":
+                self._emitted.pop(slot, None)
             self._free.append(slot)
         return text
 
@@ -232,6 +301,30 @@ class StreamPool:
             fed[slot] = True
 
         with self._lock:
+            if self.decoder_kind == "beam":
+                # device beam: the tick returns each slot's current best
+                # hypothesis; the host only diffs strings for the wire
+                # protocol (append pieces, or "\r" + full on a revision)
+                self.states, self.beam_carry, best_ids, best_len = \
+                    self._pool_step_beam(self.states, self.beam_carry,
+                                         jnp.asarray(batch),
+                                         jnp.asarray(fed))
+                best_ids = np.asarray(best_ids)
+                best_len = np.asarray(best_len)
+                labels = self.ot.cfg.labels
+                out = {}
+                for slot in inputs:
+                    cur = self._dsb.render(labels, best_ids[slot],
+                                           int(best_len[slot]))
+                    prev = self._emitted.get(slot, "")
+                    if cur == prev:
+                        out[slot] = ""
+                    elif cur.startswith(prev):
+                        out[slot] = cur[len(prev):]
+                    else:
+                        out[slot] = "\r" + cur
+                    self._emitted[slot] = cur
+                return out
             self.states, lp = self._pool_step(
                 self.states, jnp.asarray(batch), jnp.asarray(fed))
             lp = np.asarray(lp)
