@@ -133,3 +133,35 @@ def test_real_speech_wav_through_mp3(tmp_path):
 def test_garbage_mp3_fails_loud():
     with pytest.raises((ValueError, RuntimeError)):
         mp3mod.decode_mp3(b"\xff\xfb" + b"\x00" * 64)
+
+
+def test_leading_junk_still_decodes():
+    """Streams with junk before the first frame sync (common in
+    call-center dumps; the reference's ffmpeg path handled them) decode
+    via the find_frame_sync sniff + mpg123's own resync."""
+    sr = 16000
+    rng = np.random.RandomState(11)
+    sig = (0.2 * rng.randn(sr // 2)).astype(np.float32)
+    blob = lame_encode(sig, sr)
+    junk = b"CALLLOG\x01\x02\x03" * 5          # no 0xFF sync bytes
+    assert not mp3mod.looks_like_mp3(junk[:4])
+    assert mp3mod.find_frame_sync(junk + blob) > 0
+    dec, out_sr = read_wav(junk + blob)
+    assert out_sr == sr
+    assert len(dec) > sr // 4
+
+
+def test_find_frame_sync_rejects_nonsync_bytes():
+    assert mp3mod.find_frame_sync(b"\x00" * 100) == -1
+    # 0xFF present but invalid header bits (reserved version+layer)
+    assert mp3mod.find_frame_sync(b"ab\xff\x1f" * 10) == -1
+
+
+def test_mid_stream_format_change_raises():
+    """Two concatenated streams with different sample rates must raise,
+    not silently mis-rate the tail."""
+    rng = np.random.RandomState(5)
+    a = lame_encode((0.2 * rng.randn(8000)).astype(np.float32), 16000)
+    b = lame_encode((0.2 * rng.randn(4000)).astype(np.float32), 8000)
+    with pytest.raises(ValueError, match="mid-stream"):
+        mp3mod.decode_mp3(a + b)

@@ -156,10 +156,16 @@ class BucketBatcher:
 
     def steps_per_epoch(self) -> int:
         """Batches one epoch of this shard yields, computed analytically
-        from manifest durations (no audio IO). Bucket assignment is
-        duration-based so this is shuffle-invariant, up to a ±1 rounding
-        per bucket in how the shuffled shard split lands; exact for
-        num_shards=1. LR schedules need this: len(ds)//batch_size
+        from manifest durations (no audio IO). Exact for num_shards=1.
+        For num_shards>1 it is APPROXIMATE per epoch: __iter__ shards by
+        idx[shard_id::num_shards] AFTER a global shuffle, so a shard's
+        per-bucket composition is random and its actual batch count can
+        deviate from the even-split estimate here by a few batches in
+        either direction (e.g. 2 shards over bucket counts 10/10 at
+        bs=4: estimate 6, a 7/3 shuffle split yields 5). Every shard
+        runs the same schedule, so only cosine-length sizing is
+        affected, and schedules clamp at their floor past the estimate.
+        LR schedules need this: len(ds)//batch_size
         undercounts whenever bucketing splits an epoch into more,
         smaller batches (a 13-utterance corpus in 3 buckets yields 3
         batches/epoch, not 1 — so a cosine schedule sized from the

@@ -100,8 +100,16 @@ def read_wav(path_or_bytes) -> Tuple[np.ndarray, int]:
                 from vietasr_tpu.audio import mp3 as _mp3
                 f.seek(0)
                 blob = f.read()
-                if _mp3.looks_like_mp3(blob[:4]):
-                    return _mp3.decode_mp3(blob)
+                # frame sync may sit past leading junk (common in
+                # call-center dumps — mpg123 itself resyncs); attempt a
+                # decode whenever a sync appears in the head, and fall
+                # through to the original error if it wasn't mp3
+                if _mp3.looks_like_mp3(blob[:4]) \
+                        or _mp3.find_frame_sync(blob) >= 0:
+                    try:
+                        return _mp3.decode_mp3(blob)
+                    except (ValueError, NotImplementedError):
+                        pass
                 raise
         finally:
             if f is not path_or_bytes:

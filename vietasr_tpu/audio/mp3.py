@@ -131,9 +131,19 @@ def decode_mp3(data: bytes) -> Tuple[np.ndarray, int]:
             if done.value:
                 chunks.append(bytes(bytearray(buf[: done.value])))
             if r == _MPG123_NEW_FORMAT:
+                prev = (rate.value, channels.value)
                 lib.mpg123_getformat(h, ctypes.byref(rate),
                                      ctypes.byref(channels),
                                      ctypes.byref(enc))
+                if prev != (0, 0) and prev != (rate.value, channels.value):
+                    # concatenated streams with a mid-stream rate/channel
+                    # change would silently mis-rate/mis-deinterleave the
+                    # tail if chunks were just concatenated
+                    raise ValueError(
+                        f"mp3 stream changes format mid-stream "
+                        f"({prev} -> {(rate.value, channels.value)}); "
+                        "split the concatenated streams and decode "
+                        "separately")
                 continue
             if r in (_MPG123_DONE, _MPG123_NEED_MORE):
                 break  # NEED_MORE == end of the fed bytes (feed API)
@@ -150,6 +160,20 @@ def decode_mp3(data: bytes) -> Tuple[np.ndarray, int]:
     finally:
         lib.mpg123_close(h)
         lib.mpg123_delete(h)
+
+
+def find_frame_sync(blob: bytes, limit: int = 8192) -> int:
+    """Offset of the first plausible MPEG frame header within the first
+    `limit` bytes, or -1. Streams with leading junk (ad headers, partial
+    RIFF wrappers — common in call-center dumps) still get a decode
+    attempt; mpg123 resyncs past the junk itself."""
+    window = blob[: limit + 1]
+    pos = window.find(b"\xff")
+    while 0 <= pos < limit:
+        if looks_like_mp3(window[pos : pos + 4]):
+            return pos
+        pos = window.find(b"\xff", pos + 1)
+    return -1
 
 
 def looks_like_mp3(head: bytes) -> bool:
