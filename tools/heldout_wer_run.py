@@ -235,6 +235,147 @@ def phase_corpus(work_dir: str, n_train: int, n_heldout: int,
 
 
 # ---------------------------------------------------------------------------
+# phase: train-dyn — fresh compositions EVERY read (nothing to memorize)
+
+
+class DynamicCompositionDataset:
+    """Duck-typed AudioTextDataset whose __getitem__ composes a FRESH
+    word-cut utterance per read (new word sequence, gaps, speed/gain/
+    noise). Utterance-level memorization becomes impossible — the only
+    signal that predicts the transcript is the cut->word mapping, which
+    is exactly what generalization to the held-out compositions needs.
+    (The fixed-composition corpus lets a model key on the 1,440 known
+    sequences; round 4's first run learned word COUNTS but no identity.)
+
+    Bucketing contract (audio/dataset.py BucketBatcher): each index has a
+    FIXED length budget; composition stops while the post-augmentation
+    worst case still fits, so the static bucket shape never crops audio
+    against its transcript."""
+
+    def __init__(self, bank, tokenizer, *, seed: int, size: int,
+                 sample_rate: int = SR):
+        from vietasr_tpu.audio.augment import (AudioAugmentor,
+                                               GainPerturbation,
+                                               SpeedPerturbation,
+                                               WhiteNoisePerturbation)
+        from vietasr_tpu.audio.io import read_audio
+        from vietasr_tpu.audio.manifest import ManifestEntry
+
+        self.bank = bank
+        self.tokenizer = tokenizer
+        self.sample_rate = sample_rate
+        self.rng = np.random.RandomState(seed)
+        self.augment = AudioAugmentor(perturbations=[
+            (1.0, SpeedPerturbation(0.9, 1.1, rng=self.rng)),
+            (0.7, GainPerturbation(-6, 6, rng=self.rng)),
+            (0.7, WhiteNoisePerturbation(-60, -38, rng=self.rng)),
+        ], rng=self.rng)
+        self._wav = {}
+        self._read_audio = read_audio
+        # fixed per-index length budgets spread over ~2-7s so buckets mix
+        budgets = self.rng.uniform(2.0, 7.0, size=size)
+        self.entries = [ManifestEntry("synthetic://dyn", float(b), "dyn")
+                        for b in budgets]
+        self.num_dropped = 0
+
+    def __len__(self):
+        return len(self.entries)
+
+    def max_token_len(self):
+        # worst case: budget filled with the shortest word's chars
+        return 160
+
+    def _seg(self, b):
+        if b["wav"] not in self._wav:
+            self._wav[b["wav"]] = self._read_audio(
+                b["wav"], target_sr=self.sample_rate)[0]
+        return self._wav[b["wav"]][b["lo"]: b["hi"]]
+
+    def __getitem__(self, i):
+        budget = int(self.entries[i].duration * self.sample_rate)
+        parts, words, used = [], [], 0
+        text = ""
+        while True:
+            j = self.rng.randint(0, len(self.bank))
+            seg = self._seg(self.bank[j])
+            gap = int(self.rng.randint(480, 1280))
+            cand_text = (text + " " if text else "") + self.bank[j]["text"]
+            need = (len(cand_text)
+                    + sum(a == b for a, b in zip(cand_text, cand_text[1:]))
+                    + 8) * 4 * 160
+            # worst case after 0.9x speed slowdown must fit the budget,
+            # including the CTC-feasibility tail pad
+            cand_len = used + (gap if parts else 0) + len(seg)
+            if max(cand_len, need) * 1.12 > budget:
+                if words:
+                    break
+                continue        # budget too small for this word, redraw
+            if parts:
+                parts.append(np.zeros(gap, np.float32))
+                used += gap
+            parts.append(seg)
+            used += len(seg)
+            words.append(self.bank[j]["text"])
+            text = cand_text
+            if len(words) >= 8:
+                break
+        sig = np.concatenate(parts)
+        sig = self.augment(sig, self.sample_rate).astype(np.float32)
+        need = (len(text) + sum(a == b for a, b in zip(text, text[1:]))
+                + 8) * 4 * 160
+        if len(sig) < need:
+            sig = np.concatenate([sig,
+                                  np.zeros(need - len(sig), np.float32)])
+        ids = self.tokenizer.encode(text)
+        return sig, ids
+
+
+def phase_train_dyn(work_dir: str, config: str, tag: str, steps: int,
+                    batch_size: int, lr: float) -> None:
+    """From-scratch training on the dynamic composer (fresh utterances
+    every read; `steps` total optimizer steps)."""
+    import jax
+
+    from vietasr_tpu.audio import BucketBatcher, CharTokenizer
+    from vietasr_tpu.config import load_config
+    from vietasr_tpu.models import model_init
+    from vietasr_tpu.train import (CheckpointManager, TrainState, Trainer,
+                                   make_optimizer, make_schedule)
+
+    with open(os.path.join(work_dir, "word_bank.json"),
+              encoding="utf-8") as f:
+        bank = json.load(f)
+    cfg = load_config(config)
+    tok = CharTokenizer(cfg.labels)
+    ds = DynamicCompositionDataset(bank, tok, seed=0, size=batch_size * 64)
+    batcher = BucketBatcher(ds, batch_size, max_duration=8.0,
+                            bucket_margin=1.12)
+    steps_per_epoch = max(batcher.steps_per_epoch(), 1)
+    epochs = max(steps // steps_per_epoch, 1)
+    schedule = make_schedule("CosineAnnealing", lr,
+                             epochs * steps_per_epoch,
+                             warmup_steps=steps // 20)
+    opt = make_optimizer("novograd", schedule, weight_decay=0.001)
+    state = TrainState.create(
+        model_init(jax.random.PRNGKey(0), cfg), opt)
+    run_dir = os.path.join(work_dir, f"run_{tag}")
+    cm = CheckpointManager(run_dir, keep=4)
+    restored = cm.restore(state)
+    if restored is not None:
+        state = restored
+        print(f"resumed from step {int(state.step)}")
+    trainer = Trainer(cfg=cfg, optimizer=opt, lr_schedule=schedule,
+                      log_every=50, checkpoint_manager=cm,
+                      checkpoint_every=max(steps // 4, 1),
+                      compute_dtype="bfloat16")
+    trainer.callbacks.append(
+        lambda tr, m: print(json.dumps(m, ensure_ascii=False), flush=True))
+    state = trainer.fit(state, batcher, num_epochs=epochs)
+    cm.save(state)
+    print(f"done at step {int(state.step)}")
+
+
+# ---------------------------------------------------------------------------
 # phase: train / eval on the synthetic corpus
 
 
@@ -337,7 +478,10 @@ def main():
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--phase", required=True,
-                    choices=["align", "cut", "corpus", "train", "eval"])
+                    choices=["align", "cut", "corpus", "train",
+                             "train-dyn", "eval"])
+    ap.add_argument("--steps", type=int, default=12000,
+                    help="total optimizer steps for train-dyn")
     ap.add_argument("--work-dir", default="work/heldout")
     ap.add_argument("--config", default=QN_CONFIG)
     ap.add_argument("--tag", default="default")
@@ -359,6 +503,9 @@ def main():
     elif args.phase == "train":
         phase_train(args.work_dir, args.config, args.tag, args.epochs,
                     args.batch_size, args.lr)
+    elif args.phase == "train-dyn":
+        phase_train_dyn(args.work_dir, args.config, args.tag, args.steps,
+                        args.batch_size, args.lr)
     elif args.phase == "eval":
         phase_eval(args.work_dir, args.config, args.tag)
 
