@@ -44,7 +44,8 @@ def main():
     print(json.dumps({"canary_tfs": round(canary, 1), "w": w}), flush=True)
 
     base = None
-    for ablate in ["", "merge,thresh,psel,lm", "body"]:
+    for ablate in ["", "merge", "thresh", "psel", "lm",
+                   "merge,thresh,psel,lm", "body"]:
         def run(lp, lens, a=ablate):
             return pallas_beam_search(
                 lp, lens, blank=cfg.num_classes, beam_width=w,

@@ -145,9 +145,20 @@ def cut_words(work_dir: str) -> None:
             print(json.dumps({"skip_wav": e["audio_filepath"],
                               "words": len(words), "spans": len(spans)}))
             continue
-        for wtext, (f0, f1) in zip(words, spans):
-            lo = max(0, (f0 - 1) * samples_per_frame)
-            hi = min(len(sig), (f1 + 2) * samples_per_frame)
+        # CTC emissions LAG acoustics (the first char of a word spikes
+        # well after its acoustic onset), so cutting at the emission
+        # span itself clips every onset — round 4 verified even the
+        # memorized align model recognizes 0/24 such cuts in isolation.
+        # Cut instead at the MIDPOINTS between adjacent emission spans:
+        # word i owns [mid(prev_end, start_i), mid(end_i, next_start)),
+        # which keeps the full acoustic extent of each word.
+        n_frames = len(chars)
+        for k, (wtext, (f0, f1)) in enumerate(zip(words, spans)):
+            lo_f = 0 if k == 0 else (spans[k - 1][1] + 1 + f0) / 2
+            hi_f = n_frames if k == len(spans) - 1 \
+                else (f1 + 1 + spans[k + 1][0]) / 2
+            lo = max(0, int(lo_f * samples_per_frame))
+            hi = min(len(sig), int(hi_f * samples_per_frame))
             bank.append({"text": wtext,
                          "wav": e["audio_filepath"],
                          "lo": int(lo), "hi": int(hi)})
