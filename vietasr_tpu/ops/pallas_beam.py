@@ -494,21 +494,14 @@ def _beam_kernel(lens_ref, lp_ref, toplp_ref, topci_ref, *rest,
         return vals, hit
 
     n_mblk = w if w <= _SMALL_W else _MERGE_BLK
-    # pass A: exact global max over stay_pnb and every absorbed value
-    if "merge" in ablate:       # timing ablation
-        mmax = stay_pnb
-    elif w <= _SMALL_W:
-        mmax = jnp.maximum(stay_pnb, jnp.max(merge_block(0, w)[0], axis=1))
-    else:
-        def maxbody(i, m):
-            return jnp.maximum(
-                m, jnp.max(merge_block(i * n_mblk, n_mblk)[0], axis=1))
-
-        mmax = jax.lax.fori_loop(0, w // n_mblk, maxbody, stay_pnb)
-    msafe = jnp.where(mmax <= NEG / 2, 0.0, mmax)
-
-    # pass B: accumulate exp-sums at the final msafe (single-reference
-    # logsumexp — no online rescaling) and the per-parent kill bitmasks
+    # ONE blocked pass: online (rescaled) logsumexp over stay_pnb and
+    # every absorbed value, with the per-parent kill bitmasks written
+    # from the same (Wj, blk, B) temporaries. The previous two-pass form
+    # (exact global max, then exp-sums at it) computed merge_block —
+    # the hash extends, equality tests and masked values — TWICE per
+    # parent block; at W=104 that doubled the dominant O(W^2) term.
+    # Decode equality with the XLA scan is preserved (only the fp
+    # summation order changes; tests compare decoded ids).
     last_u = jax.lax.bitcast_convert_type(jnp.maximum(last, 0), jnp.uint32)
     word_l = jax.lax.shift_right_logical(last_u, jnp.uint32(5))
     bit_l = jnp.where(
@@ -517,10 +510,13 @@ def _beam_kernel(lens_ref, lp_ref, toplp_ref, topci_ref, *rest,
                            last_u & jnp.uint32(31)),
         jnp.uint32(0))
 
-    def sum_kills_block(i0, blk, s_acc):
+    def merge_acc(i0, blk, m, s):
+        """Online-logsumexp update over parent block [i0, i0+blk):
+        invariant total = m + log(s), s = sum exp(item - m) so far."""
         vals, hit = merge_block(i0, blk)
-        s_acc = s_acc + jnp.sum(
-            jnp.exp(jnp.maximum(vals - msafe[:, None, :], NEG)), axis=1)
+        m2 = jnp.maximum(m, jnp.max(vals, axis=1))           # (Wj, B)
+        s = s * jnp.exp(jnp.maximum(m - m2, NEG)) + jnp.sum(
+            jnp.exp(jnp.maximum(vals - m2[:, None, :], NEG)), axis=1)
         for w0 in range(n_words):
             contrib = jnp.where(
                 hit & (word_l == w0)[:, None, :],
@@ -529,20 +525,21 @@ def _beam_kernel(lens_ref, lp_ref, toplp_ref, topci_ref, *rest,
             kills_s[w0, pl.ds(i0, blk), :] = jax.lax.bitcast_convert_type(
                 jnp.sum(jax.lax.bitcast_convert_type(contrib, jnp.int32),
                         axis=0), jnp.uint32)
-        return s_acc
+        return m2, s
 
-    s0 = jnp.exp(jnp.maximum(stay_pnb - msafe, NEG))
+    ones = jnp.ones_like(stay_pnb)       # exp(stay_pnb - stay_pnb)
     if "merge" in ablate:       # timing ablation
-        msum = s0
+        mmax, msum = stay_pnb, ones
     elif w <= _SMALL_W:
-        msum = sum_kills_block(0, w, s0)
+        mmax, msum = merge_acc(0, w, stay_pnb, ones)
     else:
-        def sumbody(i, s_acc):
-            return sum_kills_block(i * n_mblk, n_mblk, s_acc)
+        def accbody(i, carry):
+            return merge_acc(i * n_mblk, n_mblk, *carry)
 
-        msum = jax.lax.fori_loop(0, w // n_mblk, sumbody, s0)
+        mmax, msum = jax.lax.fori_loop(0, w // n_mblk, accbody,
+                                       (stay_pnb, ones))
     stay_pnb_m = jnp.where(mmax <= NEG / 2, NEG,
-                           msafe + jnp.log(jnp.maximum(msum, 1e-38)))
+                           mmax + jnp.log(jnp.maximum(msum, 1e-38)))
 
     # killed(i, k): bit c_k of parent i's kill words
     ci_u = jax.lax.bitcast_convert_type(top_ci, jnp.uint32)
