@@ -1,0 +1,143 @@
+"""Fused repeat-block kernel (ops/pallas_repeat.py) vs the XLA block
+path, interpret mode (CPU). Covers: multi-repeat with residual, C_in !=
+C_out first repeat, per-sample length masking, tiling with halos, and
+eligibility gating."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vietasr_tpu.config import BlockConfig, EncoderConfig
+from vietasr_tpu.models.quartznet import (_apply_block, _init_block,
+                                          fold_batchnorm)
+from vietasr_tpu.ops.pallas_repeat import block_eligible, fused_repeat_block
+
+
+def _make_block(c_in, c_out, k, r, *, residual=True, seed=0):
+    bcfg = BlockConfig(filters=c_out, repeat=r, kernel=k, stride=1,
+                       residual=residual, separable=True)
+    params, stats = _init_block(jax.random.PRNGKey(seed), bcfg, c_in,
+                                [c_in] if residual else [], "xavier_uniform")
+    # fold BN like fold_batchnorm does for a full encoder
+    variables = {"params": {"encoder": [params],
+                            "decoder": {"w": jnp.zeros((c_out, 2)),
+                                        "b": jnp.zeros((2,))}},
+                 "batch_stats": {"encoder": [stats]}}
+    ecfg = EncoderConfig(blocks=(bcfg,), feat_in=c_in)
+    folded = fold_batchnorm(variables, ecfg)
+    return bcfg, ecfg, folded["params"]["encoder"][0], \
+        folded["batch_stats"]["encoder"][0]
+
+
+def _xla_block(x, lens, params, stats, bcfg, ecfg):
+    outs, out_lens, _ = _apply_block([x], lens, params, stats, bcfg, ecfg,
+                                     False, jax.random.PRNGKey(0),
+                                     compute_dtype=jnp.bfloat16)
+    return outs[-1]
+
+
+def _fused(x, lens, params, bcfg):
+    r = bcfg.repeat
+    dw = [params["sub"][i]["dw_w"] for i in range(r)]
+    pw = [params["sub"][i]["pw_w"] for i in range(r)]
+    bs = [params["sub"][i]["b"] for i in range(r)]
+    res_w = params["res"][0]["conv_w"] if params["res"] else None
+    res_b = params["res"][0]["b"] if params["res"] else None
+    return fused_repeat_block(x.astype(jnp.bfloat16), lens, dw, pw, bs,
+                              res_w, res_b, kernel=bcfg.kernel,
+                              interpret=True)
+
+
+@pytest.mark.parametrize("c_in,c_out,k,r,t", [
+    (8, 8, 9, 3, 64),         # square, multi-repeat
+    (8, 16, 7, 2, 50),        # widening first repeat
+    (16, 16, 33, 5, 40),      # halo (80) wider than T
+])
+def test_matches_xla_block(c_in, c_out, k, r, t):
+    bcfg, ecfg, params, stats = _make_block(c_in, c_out, k, r)
+    rng = np.random.RandomState(0)
+    x = rng.randn(3, t, c_in).astype(np.float32) * 0.5
+    lens = np.array([t, t - 7, max(t // 2, 1)], np.int32)
+    want = np.asarray(_xla_block(jnp.asarray(x), jnp.asarray(lens),
+                                 params, stats, bcfg, ecfg),
+                      np.float32)
+    got = np.asarray(_fused(jnp.asarray(x), jnp.asarray(lens),
+                            params, bcfg), np.float32)
+    assert got.shape == want.shape
+    scale = np.abs(want).max() + 1e-6
+    np.testing.assert_allclose(got, want, atol=0.03 * scale, rtol=0.05)
+
+
+def test_no_residual_block():
+    bcfg, ecfg, params, stats = _make_block(8, 8, 5, 2, residual=False)
+    rng = np.random.RandomState(1)
+    x = rng.randn(2, 30, 8).astype(np.float32) * 0.5
+    lens = np.array([30, 17], np.int32)
+    want = np.asarray(_xla_block(jnp.asarray(x), jnp.asarray(lens),
+                                 params, stats, bcfg, ecfg), np.float32)
+    got = np.asarray(_fused(jnp.asarray(x), jnp.asarray(lens),
+                            params, bcfg), np.float32)
+    scale = np.abs(want).max() + 1e-6
+    np.testing.assert_allclose(got, want, atol=0.03 * scale, rtol=0.05)
+
+
+def test_tiling_invariance():
+    """Small tile_t (forcing several halo tiles) must equal one tile."""
+    bcfg, _, params, _ = _make_block(8, 8, 9, 3)
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(2, 100, 8).astype(np.float32))
+    lens = jnp.asarray(np.array([100, 55], np.int32))
+    r = bcfg.repeat
+    args = ([params["sub"][i]["dw_w"] for i in range(r)],
+            [params["sub"][i]["pw_w"] for i in range(r)],
+            [params["sub"][i]["b"] for i in range(r)],
+            params["res"][0]["conv_w"], params["res"][0]["b"])
+    one = fused_repeat_block(x, lens, *args, kernel=9, tile_t=112,
+                             interpret=True)
+    many = fused_repeat_block(x, lens, *args, kernel=9, tile_t=32,
+                              interpret=True)
+    np.testing.assert_allclose(np.asarray(one), np.asarray(many),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_eligibility_gate():
+    bcfg, _, params, _ = _make_block(8, 8, 5, 2)
+    assert block_eligible(bcfg, params, training=False)
+    assert not block_eligible(bcfg, params, training=True)
+    import dataclasses
+    assert not block_eligible(dataclasses.replace(bcfg, stride=2),
+                              params, False)
+    assert not block_eligible(dataclasses.replace(bcfg, separable=False),
+                              params, False)
+    assert not block_eligible(dataclasses.replace(bcfg, dilation=2),
+                              params, False)
+
+
+def test_full_model_routing_matches_xla():
+    """quartznet_apply(block_impl='pallas') == block_impl='xla' on a full
+    small model (bf16, folded) — the auto-routing integration path."""
+    from vietasr_tpu.config import load_config
+    from vietasr_tpu.models import init_quartznet
+    from vietasr_tpu.models.quartznet import quartznet_apply
+
+    from test_streaming_online import small_model
+
+    cfg, variables = small_model(normalize="")
+    rng = np.random.RandomState(0)
+    feats = None
+    # drive the encoder directly with featurizer-shaped input
+    from vietasr_tpu.frontend.features import make_featurizer
+
+    featurize = make_featurizer(cfg.featurizer)
+    sig = (rng.randn(2, 8000) * 0.1).astype(np.float32)
+    lens = np.array([8000, 5000], np.int32)
+    feats, flens = featurize(jnp.asarray(sig), jnp.asarray(lens))
+    kw = dict(cfg=cfg.encoder, compute_dtype=jnp.bfloat16)
+    lp_x, lx, _ = quartznet_apply(variables, feats, flens,
+                                  block_impl="xla", **kw)
+    lp_p, lp_, _ = quartznet_apply(variables, feats, flens,
+                                   block_impl="pallas", **kw)
+    np.testing.assert_array_equal(np.asarray(lx), np.asarray(lp_))
+    a, b = np.asarray(lp_x, np.float32), np.asarray(lp_p, np.float32)
+    np.testing.assert_allclose(a, b, atol=0.08, rtol=0.05)

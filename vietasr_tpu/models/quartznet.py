@@ -239,14 +239,46 @@ def _apply_sub(x, lens, params, stats, bcfg: BlockConfig, conv_mask: bool,
 
 def _apply_block(xs, lens_orig, params, stats, bcfg: BlockConfig,
                  cfg: EncoderConfig, training: bool, rng,
-                 compute_dtype=None, pw_fn=_default_pw, block_idx=0):
+                 compute_dtype=None, pw_fn=_default_pw, block_idx=0,
+                 block_impl="auto"):
     """Reference JasperBlock.forward (parts/jasper.py:408-448).
 
-    The conv stack deliberately stays on XLA: a fused Pallas separable
-    block was built and measured at 0.83x XLA (the K-tap depthwise is
-    VPU-FLOP-bound and XLA already runs it at ~65-80% of the VPU
-    roofline, docs/rooflines.md) — the kernel was removed rather than
-    shipped slower than the compiler."""
+    TRAINING stays on XLA: a fused Pallas SINGLE sub-layer kernel was
+    built in round 2 and measured at 0.83x XLA (the K-tap depthwise is
+    VPU-FLOP-bound; fusing one layer saves almost no traffic), so it was
+    removed. INFERENCE on folded-BN separable blocks routes to the fused
+    REPEAT-BLOCK kernel (ops/pallas_repeat.py) under block_impl="auto"
+    on TPU with bf16 compute: the whole repeat chain runs VMEM-resident,
+    cutting the ~5x activation HBM round-trips that bound the 15x5
+    model (docs/rooflines.md §2b)."""
+    use_fused = (block_impl != "xla"
+                 and compute_dtype == jnp.bfloat16
+                 and cfg.activation == "relu"
+                 and cfg.residual_mode == "add"
+                 and cfg.conv_mask
+                 and pw_fn is _default_pw
+                 and not bcfg.residual_dense)
+    if use_fused:
+        from vietasr_tpu.ops.pallas_repeat import (block_eligible,
+                                                   fused_repeat_block)
+
+        if block_eligible(bcfg, params, training) and (
+                block_impl == "pallas"
+                or jax.default_backend() == "tpu"):
+            x = xs[-1]
+            r = bcfg.repeat
+            out = fused_repeat_block(
+                x.astype(compute_dtype), lens_orig,
+                [params["sub"][j]["dw_w"] for j in range(r)],
+                [params["sub"][j]["pw_w"] for j in range(r)],
+                [params["sub"][j]["b"] for j in range(r)],
+                params["res"][0]["conv_w"] if params["res"] else None,
+                params["res"][0]["b"] if params["res"] else None,
+                kernel=bcfg.kernel,
+                interpret=jax.default_backend() == "cpu")
+            return [out], lens_orig, {"sub": [dict(s) for s in
+                                              stats["sub"]],
+                                      "res": list(stats["res"])}
     act = activation_fn(cfg.activation)
     out = xs[-1]
     lens = lens_orig
@@ -318,6 +350,7 @@ def quartznet_apply(
     rng: Optional[jax.Array] = None,
     compute_dtype=None,
     pw_fn=_default_pw,
+    block_impl: str = "auto",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, dict]:
     """Forward pass.
 
@@ -348,7 +381,7 @@ def quartznet_apply(
         rng, block_rng = jax.random.split(rng)
         xs, lens, s = _apply_block(
             xs, lens, params["encoder"][i], enc_stats[i], bcfg, cfg,
-            training, block_rng, compute_dtype, pw_fn, i)
+            training, block_rng, compute_dtype, pw_fn, i, block_impl)
         new_enc_stats.append(s)
 
     encoded = xs[-1]                                    # (B, T', C)
