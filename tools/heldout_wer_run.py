@@ -375,10 +375,17 @@ def phase_train_dyn(work_dir: str, config: str, tag: str, steps: int,
     if restored is not None:
         state = restored
         print(f"resumed from step {int(state.step)}")
+    # NO SpecAugment here: the reference's rect masks (5 x up-to-120
+    # frames = 1.2 s) are tuned for long utterances where language
+    # context recovers a masked word; this corpus's word sequences are
+    # RANDOM, so a masked word is fundamentally unpredictable and
+    # training plateaus at the masking entropy floor (diagnosed round 4:
+    # loss flat at ~60-80 while decodes degenerate to the prior word).
+    # The per-read waveform augmentation is the regularizer instead.
     trainer = Trainer(cfg=cfg, optimizer=opt, lr_schedule=schedule,
                       log_every=50, checkpoint_manager=cm,
                       checkpoint_every=max(steps // 4, 1),
-                      compute_dtype="bfloat16")
+                      compute_dtype="bfloat16", use_specaug=False)
     trainer.callbacks.append(
         lambda tr, m: print(json.dumps(m, ensure_ascii=False), flush=True))
     state = trainer.fit(state, batcher, num_epochs=epochs)
