@@ -194,10 +194,12 @@ def test_conformer_stream_pool():
 
 
 def test_conformer_stream_pool_beam_decoder(tmp_path):
-    """The CLI serve path `--stream-decoder beam --lm-path ...` on a
+    """The CLI serve path `--stream-decoder beam_host --lm-path ...` on a
     CONFORMER pool: per-slot IncrementalBeam over the pooled chunked-causal
     encoder equals the same beam decoder driven on the single-stream
-    transcriber's log-probs (decoder choice is architecture-independent)."""
+    transcriber's log-probs (decoder choice is architecture-independent;
+    decoder="beam" — the device tier — is covered by
+    tests/test_streaming_beam.py and test_device_streaming_beam.py)."""
     from vietasr_tpu.ops.lm import NGramLM, train_ngram_arpa
     from vietasr_tpu.serve.streams import IncrementalBeam, StreamPool
     from vietasr_tpu.streaming_conformer import ConformerOnlineTranscriber
@@ -209,7 +211,7 @@ def test_conformer_stream_pool_beam_decoder(tmp_path):
     arpa = tmp_path / "w.arpa"
     train_ngram_arpa(["a b a", "b a b", "a a b"] * 3, str(arpa),
                      order=3, char_level=False)
-    pool = StreamPool(ot, slots=2, decoder="beam", lm_path=str(arpa),
+    pool = StreamPool(ot, slots=2, decoder="beam_host", lm_path=str(arpa),
                       beam_width=6, lm_alpha=0.4, lm_beta=1.0)
 
     rng = np.random.RandomState(5)
