@@ -23,6 +23,8 @@ from vietasr_tpu.ops.pallas_beam import dense_lm_from_tables, \
 
 
 def main():
+    from vietasr_tpu.utils.env import enable_compilation_cache
+    enable_compilation_cache()
     w = int(os.environ.get("BEAM_W", "100"))
     batch = 128
     cfg = load_config("/root/reference/configs/quartznet12x1_vi.yaml")
@@ -44,8 +46,9 @@ def main():
     print(json.dumps({"canary_tfs": round(canary, 1), "w": w}), flush=True)
 
     base = None
-    for ablate in ["", "merge", "thresh", "psel", "lm",
-                   "merge,thresh,psel,lm", "body"]:
+    for ablate in [v.replace("+", ",") for v in
+                   os.environ.get("ABLATE_LIST",
+                                  "|merge|thresh|psel|lm|body").split("|")]:
         def run(lp, lens, a=ablate):
             return pallas_beam_search(
                 lp, lens, blank=cfg.num_classes, beam_width=w,
