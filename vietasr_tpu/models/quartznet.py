@@ -243,15 +243,16 @@ def _apply_block(xs, lens_orig, params, stats, bcfg: BlockConfig,
                  block_impl="auto"):
     """Reference JasperBlock.forward (parts/jasper.py:408-448).
 
-    TRAINING stays on XLA: a fused Pallas SINGLE sub-layer kernel was
-    built in round 2 and measured at 0.83x XLA (the K-tap depthwise is
-    VPU-FLOP-bound; fusing one layer saves almost no traffic), so it was
-    removed. INFERENCE on folded-BN separable blocks routes to the fused
-    REPEAT-BLOCK kernel (ops/pallas_repeat.py) under block_impl="auto"
-    on TPU with bf16 compute: the whole repeat chain runs VMEM-resident,
-    cutting the ~5x activation HBM round-trips that bound the 15x5
-    model (docs/rooflines.md §2b)."""
-    use_fused = (block_impl != "xla"
+    The conv stack stays on XLA (block_impl="auto" == "xla"). Two fused
+    Pallas attempts, both measured and refuted: (round 2) a SINGLE
+    sub-layer kernel at 0.83x XLA; (round 4) the whole-REPEAT-block
+    VMEM-resident kernel (ops/pallas_repeat.py, available via
+    block_impl="pallas") at 0.26x XLA on the 15x5 serving shape — the
+    K-tap depthwise needs unaligned shifted sublane reads that Mosaic
+    lowers far worse than XLA's conv emitter, and the corrected HBM
+    bandwidth (~620 GB/s, rooflines §8) shows activation traffic was
+    never the 15x5 bound anyway. Numbers in docs/rooflines.md §2b."""
+    use_fused = (block_impl == "pallas"
                  and compute_dtype == jnp.bfloat16
                  and cfg.activation == "relu"
                  and cfg.residual_mode == "add"
@@ -262,9 +263,7 @@ def _apply_block(xs, lens_orig, params, stats, bcfg: BlockConfig,
         from vietasr_tpu.ops.pallas_repeat import (block_eligible,
                                                    fused_repeat_block)
 
-        if block_eligible(bcfg, params, training) and (
-                block_impl == "pallas"
-                or jax.default_backend() == "tpu"):
+        if block_eligible(bcfg, params, training):
             x = xs[-1]
             r = bcfg.repeat
             out = fused_repeat_block(

@@ -55,9 +55,16 @@ def _round_up(n: int, m: int) -> int:
 
 
 def _kernel(lens_ref, x_tiles, dw_ref, pw_refs, b_ref, resw_ref, resb_ref,
-            out_ref, *, tile_t: int, k: int, r: int, c_in: int, c_out: int,
-            last_act: bool, has_res: bool, out_dtype):
-    """One (batch, tile) grid step: the whole repeat block in VMEM."""
+            out_ref, stage_ref, *, tile_t: int, k: int, r: int, c_in: int,
+            c_max: int, c_out: int, last_act: bool, has_res: bool,
+            out_dtype):
+    """One (batch, tile) grid step: the whole repeat block in VMEM.
+
+    Activations run at c_max lanes throughout (the first repeat's
+    narrower C_in is zero-padded; the zero-padded dw rows / pw rows
+    neutralize the extra channels), and each repeat's masked input is
+    staged into a VMEM scratch so the K-tap loop can read shifted rows
+    with pl.ds — Mosaic has no dynamic_slice on VALUES."""
     k2 = k // 2
     h = r * k2
     e0 = tile_t + 2 * h
@@ -72,35 +79,52 @@ def _kernel(lens_ref, x_tiles, dw_ref, pw_refs, b_ref, resw_ref, resb_ref,
         + t_idx * tile_t - h
     mask_full = ((g >= 0) & (g < length))                   # (E0, 1) bool
 
-    cur = x_tiles[0, 0].astype(jnp.float32)                 # (E0, C_in)
+    x0 = x_tiles[0, 0].astype(jnp.float32)                  # (E0, C_in)
+    if c_in < c_max:
+        x0 = jnp.concatenate(
+            [x0, jnp.zeros((e0, c_max - c_in), jnp.float32)], axis=1)
+    cur = x0                                                # (E0, C_max)
+    stage_ref[...] = jnp.zeros(stage_ref.shape, jnp.float32)
 
+    k_pad = (k + 7) // 8 * 8
     for rr in range(r):
-        c_r = c_in if rr == 0 else c_out      # this repeat's input width
         e_in = e0 - 2 * rr * k2
         e_out = e_in - 2 * k2
         off = rr * k2
         m = mask_full[off:off + e_in]
-        dw_w = dw_ref[rr]                                   # (K, C_max)
-        masked = jnp.where(m, cur, 0.0)                     # (E_in, c_r)
+        stage_ref[0:e_in] = jnp.where(m, cur, 0.0)          # (E_in, C_max)
 
-        def tap(kk, acc):
-            row = jax.lax.dynamic_slice_in_dim(dw_w, kk, 1, axis=0)
-            seg = jax.lax.dynamic_slice_in_dim(masked, kk, e_out, axis=0)
-            return acc + seg * row[:, :c_r]
+        # Mosaic requires dynamic sublane starts to be provably 8-aligned,
+        # so the K taps run as ceil(K/8) aligned 8-row groups with the
+        # in-group shift unrolled as static value slices. Taps >= K read
+        # zero dw rows (the stack is row-padded) against zeroed stage
+        # tail rows, contributing nothing.
+        def tap8(q, acc):
+            base = pl.multiple_of(q * 8, 8)
+            rows = dw_ref[rr, pl.ds(base, 8)]               # (8, C_max)
+            seg = stage_ref[pl.ds(base, e_out + 8)]         # (E_out+8, C)
+            for rem in range(8):
+                acc = acc + seg[rem:rem + e_out] * rows[rem:rem + 1]
+            return acc
 
-        acc0 = jnp.zeros((e_out, c_r), jnp.float32)
-        y = jax.lax.fori_loop(0, k, tap, acc0)              # (E_out, c_r)
+        acc0 = jnp.zeros((e_out, c_max), jnp.float32)
+        y = jax.lax.fori_loop(0, k_pad // 8, tap8, acc0)    # (E_out, C_max)
         m2 = mask_full[off + k2:off + k2 + e_out]
         y = jnp.where(m2, y, 0.0)
         z = jax.lax.dot_general(
-            y.astype(jnp.bfloat16), pw_refs[rr][...][:c_r],
+            y.astype(jnp.bfloat16), pw_refs[rr][...],
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)             # (E_out, C_out)
         z = z + b_ref[rr][None, :]
         if rr < r - 1 or last_act:
             z = jnp.maximum(z, 0.0)
+        if c_out < c_max:
+            z = jnp.concatenate(
+                [z, jnp.zeros((e_out, c_max - c_out), jnp.float32)],
+                axis=1)
         cur = z
 
+    cur = cur[:, :c_out]
     # cur: (tile_t, C_out) — the center rows
     if has_res:
         center = x_tiles[0, 0, h:h + tile_t].astype(jnp.float32)
@@ -160,9 +184,11 @@ def fused_repeat_block(
     # zero-pad its rows/channels so one ref serves all repeats (zeros
     # contribute nothing)
     c_max = max(w.shape[1] for w in dw_ws)
+    k_pad = (kernel + 7) // 8 * 8        # aligned 8-row tap groups
     dw_stack = jnp.stack(
-        [jnp.pad(w.astype(jnp.float32), ((0, 0), (0, c_max - w.shape[1])))
-         for w in dw_ws])                                   # (R, K, C_max)
+        [jnp.pad(w.astype(jnp.float32),
+                 ((0, k_pad - kernel), (0, c_max - w.shape[1])))
+         for w in dw_ws])                                   # (R, Kpad, Cmax)
     pw_pads = [jnp.pad(w.astype(jnp.bfloat16),
                        ((0, c_max - w.shape[0]), (0, 0)))
                for w in pw_ws]                              # R x (C_max, C_out)
@@ -179,7 +205,7 @@ def fused_repeat_block(
         in_specs=[
             pl.BlockSpec((1, 1, e0, c_in), lambda b, i, sl: (b, i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((r, kernel, c_max), lambda b, i, sl: (0, 0, 0),
+            pl.BlockSpec((r, k_pad, c_max), lambda b, i, sl: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ] + [
             pl.BlockSpec((c_max, c_out), lambda b, i, sl: (0, 0),
@@ -196,15 +222,16 @@ def fused_repeat_block(
         out_specs=pl.BlockSpec((1, 1, tile_t, c_out),
                                lambda b, i, sl: (b, i, 0, 0),
                                memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((e0 + 8, c_max), jnp.float32)],
     )
 
     def kern(lens_ref, x_tiles, dw_ref, *rest):
         pw_refs = rest[:r]
-        b_ref, resw_ref, resb_ref, out_ref = rest[r:]
+        b_ref, resw_ref, resb_ref, out_ref, stage_ref = rest[r:]
         _kernel(lens_ref, x_tiles, dw_ref, pw_refs, b_ref, resw_ref,
-                resb_ref, out_ref, tile_t=tile_t, k=kernel, r=r,
-                c_in=c_in, c_out=c_out, last_act=last_act,
-                has_res=has_res, out_dtype=x.dtype)
+                resb_ref, out_ref, stage_ref, tile_t=tile_t, k=kernel,
+                r=r, c_in=c_in, c_max=c_max, c_out=c_out,
+                last_act=last_act, has_res=has_res, out_dtype=x.dtype)
 
     out = pl.pallas_call(
         kern,
