@@ -219,7 +219,8 @@ def phase_corpus(work_dir, n_heldout, labels):
                       "vocab": len(bank)}))
 
 
-def phase_train(work_dir, config, tag, steps, batch_size, lr):
+def phase_train(work_dir, config, tag, steps, batch_size, lr,
+                optimizer="novograd", warmup=None):
     import jax
 
     from vietasr_tpu.audio import BucketBatcher, CharTokenizer
@@ -240,8 +241,9 @@ def phase_train(work_dir, config, tag, steps, batch_size, lr):
     epochs = max(steps // steps_per_epoch, 1)
     schedule = make_schedule("CosineAnnealing", lr,
                              epochs * steps_per_epoch,
-                             warmup_steps=steps // 20)
-    opt = make_optimizer("novograd", schedule, weight_decay=0.001)
+                             warmup_steps=warmup or steps // 20)
+    opt = make_optimizer(optimizer, schedule, weight_decay=0.001,
+                         grad_clip_norm=5.0)
     state = TrainState.create(model_init(jax.random.PRNGKey(0), cfg), opt)
     run_dir = os.path.join(work_dir, f"run_{tag}")
     cm = CheckpointManager(run_dir, keep=4)
@@ -332,6 +334,8 @@ def main():
     ap.add_argument("--batch-size", type=int, default=32)
     ap.add_argument("--lr", type=float, default=0.01)
     ap.add_argument("--n-heldout", type=int, default=64)
+    ap.add_argument("--optimizer", default="novograd")
+    ap.add_argument("--warmup", type=int, default=None)
     args = ap.parse_args()
     os.makedirs(args.work_dir, exist_ok=True)
 
@@ -342,7 +346,7 @@ def main():
                      load_config(args.config).labels)
     elif args.phase == "train":
         phase_train(args.work_dir, args.config, args.tag, args.steps,
-                    args.batch_size, args.lr)
+                    args.batch_size, args.lr, args.optimizer, args.warmup)
     elif args.phase == "eval":
         phase_eval(args.work_dir, args.config, args.tag)
 
