@@ -69,6 +69,13 @@ def phase_align(work_dir: str, epochs: int) -> None:
 
     align_dir = os.path.join(work_dir, "align")
     manifest = build_manifest(align_dir)
+    # --augment is LOAD-BEARING for alignment quality: a model that fits
+    # the 13 wavs under random per-read time-warps (speed 0.9-1.1x) must
+    # anchor its CTC emissions to LOCAL acoustics — a clean-input
+    # memorizer's emission timing is arbitrary (nothing constrains WHERE
+    # a memorized transcript is emitted), which made round-3/4 word cuts
+    # acoustically meaningless (the align model recognized 0/24 of its
+    # own cuts; every downstream model degenerated to the prior word).
     rc = cli_main([
         "train", "--config", QN_CONFIG,
         "--train-manifest", manifest, "--eval-manifest", manifest,
@@ -76,6 +83,7 @@ def phase_align(work_dir: str, epochs: int) -> None:
         "--num-epochs", str(epochs), "--optimizer", "novograd",
         "--lr", "0.02", "--lr-policy", "CosineAnnealing",
         "--warmup-steps", str(epochs // 10),
+        "--augment", "speed,gain,noise",
         "--compute-dtype", "bfloat16", "--log-every", "50",
         "--eval-every", str(max(epochs // 4, 1)),
         "--checkpoint-every", str(max(epochs // 2, 1)),

@@ -48,9 +48,15 @@ class SpeedPerturbation(Perturbation):
         rate = self._rng.uniform(self._min_rate, self._max_rate)
         if rate <= 0:
             raise ValueError("speed rate must be positive")
-        # resample by 1/rate: rate > 1 -> shorter (faster) audio
-        base = 16000
-        segment.samples = resample(segment.samples, int(base * rate), base)
+        # resample by 1/rate: rate > 1 -> shorter (faster) audio.
+        # The rate is quantized to a 1/100 grid so the polyphase
+        # up/down factors stay <= ~o(100): a raw int(16000*rate) vs
+        # 16000 is usually coprime, and resample_poly's FIR then needs
+        # ~20*max(up,down) taps — ~320k taps, SECONDS per read, which
+        # stalled on-the-fly augmentation (round 4). 21 discrete speeds
+        # are standard augmentation practice (sox speed presets).
+        num = max(1, int(round(rate * 100)))
+        segment.samples = resample(segment.samples, num, 100)
 
 
 def _phase_vocoder_stretch(x: np.ndarray, stretch: float,
