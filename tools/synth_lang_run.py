@@ -220,7 +220,9 @@ def phase_corpus(work_dir, n_heldout, labels):
 
 
 def phase_train(work_dir, config, tag, steps, batch_size, lr,
-                optimizer="novograd", warmup=None):
+                optimizer="novograd", warmup=None, dropout=None):
+    import dataclasses
+
     import jax
 
     from vietasr_tpu.audio import BucketBatcher, CharTokenizer
@@ -230,6 +232,10 @@ def phase_train(work_dir, config, tag, steps, batch_size, lr,
                                    make_optimizer, make_schedule)
 
     cfg = load_config(config)
+    if dropout is not None and cfg.conformer is not None:
+        cfg = dataclasses.replace(
+            cfg, conformer=dataclasses.replace(cfg.conformer,
+                                               dropout=dropout))
     tok = CharTokenizer(cfg.labels)
     bank = make_bank(cfg.labels)
     exclude = set(heldout_sequences(bank, 64))
@@ -336,6 +342,7 @@ def main():
     ap.add_argument("--n-heldout", type=int, default=64)
     ap.add_argument("--optimizer", default="novograd")
     ap.add_argument("--warmup", type=int, default=None)
+    ap.add_argument("--dropout", type=float, default=None)
     args = ap.parse_args()
     os.makedirs(args.work_dir, exist_ok=True)
 
@@ -346,7 +353,8 @@ def main():
                      load_config(args.config).labels)
     elif args.phase == "train":
         phase_train(args.work_dir, args.config, args.tag, args.steps,
-                    args.batch_size, args.lr, args.optimizer, args.warmup)
+                    args.batch_size, args.lr, args.optimizer, args.warmup,
+                    args.dropout)
     elif args.phase == "eval":
         phase_eval(args.work_dir, args.config, args.tag)
 
