@@ -180,3 +180,73 @@ def test_order5_trie(tmp_path):
             ref.log_prob(w, ctx), rel=1e-5, abs=1e-5), (w, ctx)
     rec = lm.to_ngram_lm()
     assert set(rec.ngrams) == set(ref.ngrams)
+
+
+# ---------------------------------------------------------------------------
+# edge-semantics conformance vs the ARPA oracle (VERDICT r4 item 7):
+# <unk>, <s>/</s> backoff, and missing-suffix paths, for BOTH binary
+# families (probing + trie + quant-trie).
+
+
+def _edge_cases(lm_vocab):
+    """(word, context) probes hitting every backoff path class."""
+    w0 = sorted(lm_vocab)[0]
+    return [
+        ("zzz-oov", ()),                         # OOV -> <unk> unigram
+        ("zzz-oov", (w0,)),                      # OOV under context
+        (w0, ("zzz-oov",)),                      # known word, OOV context
+        (w0, ("<s>",)),                          # BOS context backoff:
+                                                 # <s> has no unigram prob
+                                                 # but a real backoff
+        ("</s>", (w0,)),                         # sentence end
+        ("</s>", ("<s>",)),                      # empty sentence
+        (w0, ("<s>", w0)),                       # order-3 with BOS head
+        (w0, (w0, w0)),                          # missing-suffix chain:
+                                                 # backs off twice
+        (w0, ("zzz-a", "zzz-b")),                # fully unknown context
+    ]
+
+
+@pytest.mark.parametrize("make", ["probing", "trie", "qtrie"])
+def test_edge_semantics_match_arpa(arpa, tmp_path, make):
+    from vietasr_tpu.ops.kenlm_binary import (KenLMBinary,
+                                              write_kenlm_binary)
+
+    oracle = NGramLM(arpa)
+    p = tmp_path / f"edge.{make}.binary"
+    if make == "probing":
+        write_kenlm_binary(arpa, str(p))
+        reader = KenLMBinary(str(p))
+    elif make == "trie":
+        write_kenlm_trie(arpa, str(p))
+        reader = KenLMTrie(str(p))
+    else:
+        write_kenlm_trie(arpa, str(p), quant_bits=(8, 8))
+        reader = KenLMTrie(str(p))
+    for word, ctx in _edge_cases(oracle.vocab):
+        want = oracle.log_prob(word, ctx)
+        got = reader.log_prob(word, ctx)
+        assert got == pytest.approx(want, abs=1e-4), (word, ctx)
+    # sentence scoring (exercises BOS->first-word and last-word->EOS)
+    s = sorted(oracle.vocab)[:3]
+    assert reader.score_sentence(s) == pytest.approx(
+        oracle.score_sentence(s), abs=1e-4)
+
+
+def test_bos_backoff_weight_applies(arpa, tmp_path):
+    """P(w | <s>) for a w where the bigram (<s>, w) is absent must
+    include <s>'s stored BACKOFF weight — the r4 advisor found the
+    trie reader dropped it (NaN-prob 'traversable blank' branch)."""
+    oracle = NGramLM(arpa)
+    bos_bo = oracle.ngrams.get(("<s>",), (0.0, 0.0))[1]
+    # pick a word with a unigram but no (<s>, w) bigram
+    cand = [w for w in oracle.vocab
+            if ("<s>", w) not in oracle.ngrams and w not in ("<s>",)]
+    if not cand or bos_bo == 0.0:
+        pytest.skip("fixture has no BOS-backoff case")
+    w = cand[0]
+    p = tmp_path / "bosbo.binary"
+    write_kenlm_trie(arpa, str(p))
+    reader = KenLMTrie(str(p))
+    want = bos_bo + oracle.log_prob(w)
+    assert reader.log_prob(w, ("<s>",)) == pytest.approx(want, abs=1e-4)

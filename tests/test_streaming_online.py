@@ -131,3 +131,59 @@ def test_online_full_vi_model_runs():
     lp = ot.stream(chunks, drop_prefix=False)
     assert lp.shape[1] == 91
     assert np.isfinite(lp).all()
+
+
+def test_causal_norm_offline_matches_streaming_formula():
+    """normalize="causal_per_feature" (offline, features._normalize) and
+    the StreamingFeaturizer causal path compute IDENTICAL statistics on
+    identical frame sequences: run the streamer with causal_norm=False,
+    normalize its raw emitted frames through the offline mode, and
+    compare against the causal_norm=True streamer output."""
+    import jax.numpy as jnp
+
+    from vietasr_tpu.config import load_config
+    from vietasr_tpu.frontend.features import _normalize
+    from vietasr_tpu.streaming_online import StreamingFeaturizer
+
+    fc = load_config("/root/reference/configs/quartznet12x1_vi.yaml") \
+        .featurizer
+    rng = np.random.RandomState(3)
+    signal = (rng.randn(3 * 3200) * 0.1).astype(np.float32)
+    chunks = [signal[i:i + 3200] for i in range(0, len(signal), 3200)]
+
+    def run(causal):
+        sf = StreamingFeaturizer(fc, causal_norm=causal)
+        fields = sf.init_fields()
+        outs = []
+        for c in chunks:
+            fields, out = sf.step(fields, jnp.asarray(c))
+            outs.append(np.asarray(out))
+        return np.concatenate(outs, axis=0)
+
+    raw = run(False)
+    streamed = run(True)
+    offline = np.asarray(_normalize(
+        jnp.asarray(raw)[None], jnp.asarray([raw.shape[0]], np.int32),
+        "causal_per_feature"))[0]
+    np.testing.assert_allclose(streamed, offline, rtol=1e-4, atol=1e-4)
+
+
+def test_causal_per_feature_numpy_reference():
+    """Offline causal mode == per-frame loop over prefix stats."""
+    import jax.numpy as jnp
+
+    from vietasr_tpu.frontend.features import STD_GUARD, _normalize
+
+    rng = np.random.RandomState(4)
+    x = rng.randn(2, 9, 5).astype(np.float32) * 3.0 + 1.0
+    lens = np.array([9, 6], np.int32)
+    got = np.asarray(_normalize(jnp.asarray(x), jnp.asarray(lens),
+                                "causal_per_feature"))
+    for b in range(2):
+        for t in range(lens[b]):
+            pre = x[b, : t + 1]
+            mean = pre.mean(axis=0)
+            var = pre.var(axis=0) * ((t + 1) / max(t, 1))
+            std = np.sqrt(var) + STD_GUARD
+            np.testing.assert_allclose(got[b, t], (x[b, t] - mean) / std,
+                                       rtol=2e-4, atol=2e-4)

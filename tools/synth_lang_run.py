@@ -58,11 +58,21 @@ WORDS = sorted(set(" ".join([
 
 
 def _char_wave(ci: int, sr: int = SR) -> np.ndarray:
-    """Deterministic formant-pair signature for label index `ci`.
+    """Deterministic formant-pair signature for label index `ci` (v1).
 
     Two sinusoids on an (F1, F2) grid + a weak octave harmonic, with an
     attack/decay envelope; durations vary 70-110 ms by a char hash so
-    length alone cannot identify a character sequence's timing."""
+    length alone cannot identify a character sequence's timing.
+
+    KNOWN DEFECT (kept for the study record, round 5): the grids are
+    LINEAR — f1 spacing 62 Hz up to 776 Hz, f2 spacing 135 Hz up to
+    2570 Hz — so at the top of each grid the spacing is < 10% of the
+    center frequency, while training applies ±10% SPEED perturbation
+    which scales every frequency. Char identity is therefore absolutely
+    ambiguous: char A at rate 1.1 lands on char B at rate 1.0, and
+    identity is only recoverable from utterance-GLOBAL speed context
+    (which a large-receptive-field conv stack learned, heldout WER
+    0.035, but the conformer plateaued on — docs/heldout_wer.md)."""
     h = (ci * 2654435761) & 0xFFFFFFFF
     dur = 0.07 + 0.04 * ((h >> 8) % 7) / 6.0
     n = int(dur * sr)
@@ -76,14 +86,59 @@ def _char_wave(ci: int, sr: int = SR) -> np.ndarray:
     return (0.25 * x * np.clip(env, 0.0, 1.0)).astype(np.float32)
 
 
-def make_bank(labels):
+def _char_wave_v2(ci: int, sr: int = SR) -> np.ndarray:
+    """Speed-robust broadband signature for label index `ci` (v2).
+
+    v2 codes identity ONLY in attributes that survive the ±10% per-read
+    speed perturbation (which scales all frequencies and durations):
+
+      - f1, f2 on LOG grids with ratio-1.35 spacing — adjacent points
+        stay disjoint under any rate pair in [0.9, 1.1] (non-overlap
+        bound: 1.1/0.9 = 1.222 < 1.35)
+      - chirp DIRECTION of f2 (down/flat/up, ±12% over the char) —
+        sign is scale-invariant; the onset frequency stays on-grid
+      - a char-gated NOISE BAND at 5.0-6.4 kHz (above the whole warped
+        f2 range) — presence is scale-invariant and broadband
+
+    5 × 5 × 3 × 2 = 150 ≥ 92 distinct codes. Envelope and hash-varied
+    duration as v1."""
+    h = (ci * 2654435761) & 0xFFFFFFFF
+    dur = 0.07 + 0.04 * ((h >> 8) % 7) / 6.0
+    n = int(dur * sr)
+    t = np.arange(n) / sr
+    i1 = ci % 5
+    i2 = (ci // 5) % 5
+    chirp = (ci // 25) % 3 - 1
+    noise_on = (ci // 75) % 2
+    f1 = 300.0 * 1.35 ** i1                      # 300 .. 997 Hz
+    f2 = 1200.0 * 1.35 ** i2                     # 1200 .. 3986 Hz
+    env = np.clip(np.minimum(np.minimum(t / 0.012, (dur - t) / 0.02),
+                             1.0), 0.0, 1.0)
+    # instantaneous f2 frequency: f2 * (1 + 0.12 * chirp * t / dur)
+    phase2 = 2 * np.pi * f2 * (t + 0.12 * chirp * t * t / (2 * dur))
+    x = (0.45 * np.sin(2 * np.pi * f1 * t)
+         + 0.35 * np.sin(phase2)
+         + 0.10 * np.sin(2 * np.pi * 2 * f1 * t))
+    if noise_on:
+        rng = np.random.RandomState((ci * 7919 + 13) & 0x7FFFFFFF)
+        spec = np.fft.rfft(rng.randn(n))
+        freqs = np.fft.rfftfreq(n, 1.0 / sr)
+        spec[(freqs < 5000.0) | (freqs > 6400.0)] = 0.0
+        band = np.fft.irfft(spec, n)
+        band /= max(float(np.sqrt(np.mean(band ** 2))), 1e-9)
+        x = x + 0.18 * band
+    return (0.25 * x * env).astype(np.float32)
+
+
+def make_bank(labels, sig: str = "v2"):
     """word -> waveform for every vocabulary word."""
+    wave_fn = {"v1": _char_wave, "v2": _char_wave_v2}[sig]
     lab_idx = {c: i for i, c in enumerate(labels)}
     bank = {}
     for w in WORDS:
         if any(c not in lab_idx for c in w):
             continue
-        bank[w] = np.concatenate([_char_wave(lab_idx[c]) for c in w])
+        bank[w] = np.concatenate([wave_fn(lab_idx[c]) for c in w])
     return bank
 
 
@@ -94,7 +149,8 @@ class SynthDynamicDataset:
     word sequences, which are never generated."""
 
     def __init__(self, bank, tokenizer, *, seed: int, size: int,
-                 exclude=(), sample_rate: int = SR):
+                 exclude=(), sample_rate: int = SR,
+                 aug=("speed", "gain", "noise")):
         from vietasr_tpu.audio.augment import (AudioAugmentor,
                                                GainPerturbation,
                                                SpeedPerturbation,
@@ -107,11 +163,18 @@ class SynthDynamicDataset:
         self.sample_rate = sample_rate
         self.exclude = set(exclude)
         self.rng = np.random.RandomState(seed)
-        self.augment = AudioAugmentor(perturbations=[
-            (1.0, SpeedPerturbation(0.9, 1.1, rng=self.rng)),
-            (0.7, GainPerturbation(-6, 6, rng=self.rng)),
-            (0.7, WhiteNoisePerturbation(-60, -38, rng=self.rng)),
-        ], rng=self.rng)
+        perturbations = []
+        if "speed" in aug:
+            perturbations.append((1.0, SpeedPerturbation(0.9, 1.1,
+                                                         rng=self.rng)))
+        if "gain" in aug:
+            perturbations.append((0.7, GainPerturbation(-6, 6,
+                                                        rng=self.rng)))
+        if "noise" in aug:
+            perturbations.append((0.7, WhiteNoisePerturbation(-60, -38,
+                                                              rng=self.rng)))
+        self.augment = AudioAugmentor(perturbations=perturbations,
+                                      rng=self.rng)
         budgets = self.rng.uniform(2.0, 6.0, size=size)
         self.entries = [ManifestEntry("synthetic://lang", float(b), "dyn")
                         for b in budgets]
@@ -190,8 +253,8 @@ def heldout_sequences(bank, n, seed=123):
     return out
 
 
-def phase_corpus(work_dir, n_heldout, labels):
-    bank = make_bank(labels)
+def phase_corpus(work_dir, n_heldout, labels, sig="v2"):
+    bank = make_bank(labels, sig)
     seqs = heldout_sequences(bank, n_heldout)
     d = os.path.join(work_dir, "heldout")
     os.makedirs(d, exist_ok=True)
@@ -216,17 +279,47 @@ def phase_corpus(work_dir, n_heldout, labels):
                                 "duration": round(len(sig) / SR, 3),
                                 "text": text}, ensure_ascii=False) + "\n")
     print(json.dumps({"manifest": path, "utts": len(seqs),
-                      "vocab": len(bank)}))
+                      "vocab": len(bank), "signatures": sig}))
+
+
+def _write_traindist(work_dir, bank, n, exclude):
+    """64 CLEAN utterances drawn from the TRAIN distribution (fresh
+    compositions, heldout sequences excluded, no augmentation): the
+    'train-split WER' cell of the study matrix — under dynamic
+    composition it separates didn't-converge from didn't-generalize."""
+    path = os.path.join(work_dir, "traindist_manifest.json")
+    if os.path.exists(path):
+        return path
+    d = os.path.join(work_dir, "traindist")
+    os.makedirs(d, exist_ok=True)
+    from vietasr_tpu.audio import CharTokenizer
+
+    tok = CharTokenizer([c for c in sorted({c for w in bank for c in w})])
+    ds = SynthDynamicDataset(bank, tok, seed=999, size=n, exclude=exclude,
+                             aug=())
+    rng = np.random.RandomState(999)
+    with open(path, "w", encoding="utf-8") as f:
+        for i in range(n):
+            sig_arr, text = ds.compose(int(ds.entries[i].duration * SR),
+                                       rng)
+            wav = os.path.join(d, f"utt{i:04d}.wav")
+            _write_wav(wav, sig_arr)
+            f.write(json.dumps({"audio_filepath": wav,
+                                "duration": round(len(sig_arr) / SR, 3),
+                                "text": text}, ensure_ascii=False) + "\n")
+    return path
 
 
 def phase_train(work_dir, config, tag, steps, batch_size, lr,
-                optimizer="novograd", warmup=None, dropout=None):
+                optimizer="novograd", warmup=None, dropout=None,
+                aug=("speed", "gain", "noise"), sig="v2",
+                normalize=None, num_blocks=None):
     import dataclasses
 
     import jax
 
     from vietasr_tpu.audio import BucketBatcher, CharTokenizer
-    from vietasr_tpu.config import load_config
+    from vietasr_tpu.config import load_config, save_config
     from vietasr_tpu.models import model_init
     from vietasr_tpu.train import (CheckpointManager, TrainState, Trainer,
                                    make_optimizer, make_schedule)
@@ -236,11 +329,33 @@ def phase_train(work_dir, config, tag, steps, batch_size, lr,
         cfg = dataclasses.replace(
             cfg, conformer=dataclasses.replace(cfg.conformer,
                                                dropout=dropout))
+    if num_blocks is not None and cfg.conformer is not None:
+        cfg = dataclasses.replace(
+            cfg, conformer=dataclasses.replace(cfg.conformer,
+                                               num_blocks=num_blocks))
+    if normalize is not None:
+        cfg = dataclasses.replace(
+            cfg, featurizer=dataclasses.replace(cfg.featurizer,
+                                                normalize=normalize))
+    run_dir = os.path.join(work_dir, f"run_{tag}")
+    os.makedirs(run_dir, exist_ok=True)
+    if dropout is not None or normalize is not None \
+            or num_blocks is not None:
+        # emit the patched config so eval/serving read the SAME model
+        config = os.path.join(run_dir, "config.yaml")
+        save_config(cfg, config)
+    with open(os.path.join(run_dir, "meta.json"), "w") as f:
+        json.dump({"config": config, "tag": tag, "signatures": sig,
+                   "aug": list(aug), "steps": steps, "lr": lr,
+                   "optimizer": optimizer, "warmup": warmup,
+                   "dropout": dropout, "normalize": normalize,
+                   "num_blocks": num_blocks,
+                   "batch_size": batch_size}, f)
     tok = CharTokenizer(cfg.labels)
-    bank = make_bank(cfg.labels)
+    bank = make_bank(cfg.labels, sig)
     exclude = set(heldout_sequences(bank, 64))
     ds = SynthDynamicDataset(bank, tok, seed=0, size=batch_size * 64,
-                             exclude=exclude)
+                             exclude=exclude, aug=aug)
     batcher = BucketBatcher(ds, batch_size, max_duration=7.0,
                             bucket_margin=1.12)
     steps_per_epoch = max(batcher.steps_per_epoch(), 1)
@@ -251,7 +366,6 @@ def phase_train(work_dir, config, tag, steps, batch_size, lr,
     opt = make_optimizer(optimizer, schedule, weight_decay=0.001,
                          grad_clip_norm=5.0)
     state = TrainState.create(model_init(jax.random.PRNGKey(0), cfg), opt)
-    run_dir = os.path.join(work_dir, f"run_{tag}")
     cm = CheckpointManager(run_dir, keep=4)
     restored = cm.restore(state)
     if restored is not None:
@@ -263,67 +377,135 @@ def phase_train(work_dir, config, tag, steps, batch_size, lr,
                       log_every=50, checkpoint_manager=cm,
                       checkpoint_every=max(steps // 4, 1),
                       compute_dtype="bfloat16", use_specaug=False)
-    trainer.callbacks.append(
-        lambda tr, m: print(json.dumps(m, ensure_ascii=False), flush=True))
+    log_path = os.path.join(run_dir, "train_log.jsonl")
+
+    def _log_metric(tr, m):
+        line = json.dumps(m, ensure_ascii=False)
+        print(line, flush=True)
+        with open(log_path, "a", encoding="utf-8") as lf:
+            lf.write(line + "\n")
+
+    trainer.callbacks.append(_log_metric)
     state = trainer.fit(state, batcher, num_epochs=epochs)
     cm.save(state)
     print(f"done at step {int(state.step)}")
 
 
-def phase_eval(work_dir, config, tag):
-    import jax
-
-    from tools.heldout_wer_run import _load_transcriber
-    from vietasr_tpu.audio.io import read_audio
-    from vietasr_tpu.config import load_config
-    from vietasr_tpu.models import model_init
+def _greedy_text(lp, labels):
     from vietasr_tpu.ops.greedy import collapse_batch, greedy_decode, \
         ids_to_text
+
+    preds, keep = greedy_decode(lp[None],
+                                np.array([lp.shape[0]], np.int32),
+                                blank=len(labels))
+    ids = collapse_batch(np.asarray(preds), np.asarray(keep))[0]
+    return ids_to_text(ids, labels).strip()
+
+
+def _streaming_decode(cfg, run_dir, sigs):
+    """Per-utterance transcripts through the REAL-TIME runtime for the
+    checkpoint: chunked-causal attention for streaming Conformer configs,
+    the ring-buffer streamer (causal per-frame norm) for QuartzNet."""
+    import jax
+
+    from vietasr_tpu.models import model_init
     from vietasr_tpu.train import CheckpointManager
-    from vietasr_tpu.train.metrics import word_error_rate
 
-    run_dir = os.path.join(work_dir, f"run_{tag}")
-    manifest = os.path.join(work_dir, "heldout_manifest.json")
-    with open(manifest, encoding="utf-8") as f:
-        entries = [json.loads(l) for l in f]
-    refs = [e["text"] for e in entries]
-    sigs = [read_audio(e["audio_filepath"], target_sr=SR)[0]
-            for e in entries]
-    t = _load_transcriber(config, run_dir)
-    hyps = [h.strip() for h in t.transcribe_batch(sigs)]
-    out = {"tag": tag, "config": config, "heldout_utts": len(entries),
-           "offline_wer": round(word_error_rate(hyps, refs), 4),
-           "offline_cer": round(word_error_rate(hyps, refs, use_cer=True),
-                                4)}
-
-    cfg = load_config(config)
-    if cfg.architecture == "conformer" and getattr(cfg.conformer,
-                                                   "chunk_size", 0):
+    template = model_init(jax.random.PRNGKey(0), cfg)
+    variables = CheckpointManager(run_dir).restore_variables(template)
+    hyps = []
+    if cfg.architecture == "conformer":
+        if not getattr(cfg.conformer, "chunk_size", 0):
+            return None
         from vietasr_tpu.streaming_conformer import \
             ConformerOnlineTranscriber
 
-        template = model_init(jax.random.PRNGKey(0), cfg)
-        variables = CheckpointManager(run_dir).restore_variables(template)
         ot = ConformerOnlineTranscriber(cfg, variables)
         cs = ot.required_chunk_samples
-        s_hyps = []
         for sig in sigs:
             pad = (-len(sig)) % cs
             padded = np.concatenate([sig, np.zeros(pad, np.float32)])
             lp = ot.stream([padded[i:i + cs]
                             for i in range(0, len(padded), cs)])
-            preds, keep = greedy_decode(
-                lp[None], np.array([lp.shape[0]], np.int32),
-                blank=len(cfg.labels))
-            ids = collapse_batch(np.asarray(preds), np.asarray(keep))[0]
-            s_hyps.append(ids_to_text(ids, cfg.labels).strip())
-        out["streaming_wer"] = round(word_error_rate(s_hyps, refs), 4)
-        out["streaming_cer"] = round(
-            word_error_rate(s_hyps, refs, use_cer=True), 4)
+            hyps.append(_greedy_text(lp, cfg.labels))
+        return hyps
+    from vietasr_tpu.models.quartznet import fold_batchnorm
+    from vietasr_tpu.streaming_online import OnlineTranscriber
+
+    ot = OnlineTranscriber(cfg, fold_batchnorm(variables, cfg.encoder),
+                           causal_norm=True)
+    cs = 3200                                # 0.2 s, multiple of 2*hop
+    # flush the decoder's algorithmic latency (half the receptive field)
+    tail = ot.prefix_frames * cfg.featurizer.hop_length * 2
+    for sig in sigs:
+        pad = (-len(sig)) % cs
+        padded = np.concatenate(
+            [sig, np.zeros(pad + tail + (-tail) % cs, np.float32)])
+        lp = ot.stream([padded[i:i + cs]
+                        for i in range(0, len(padded), cs)])
+        hyps.append(_greedy_text(lp, cfg.labels))
+    return hyps
+
+
+def phase_eval(work_dir, config, tag, sig="v2"):
+    from tools.heldout_wer_run import _load_transcriber
+    from vietasr_tpu.audio.io import read_audio
+    from vietasr_tpu.config import load_config
+    from vietasr_tpu.train.metrics import word_error_rate
+
+    run_dir = os.path.join(work_dir, f"run_{tag}")
+    meta = {}
+    meta_path = os.path.join(run_dir, "meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        config = meta.get("config", config)
+        sig = meta.get("signatures", sig)
+    cfg = load_config(config)
+
+    bank = make_bank(cfg.labels, sig)
+    exclude = set(heldout_sequences(bank, 64))
+    traindist_manifest = _write_traindist(work_dir, bank, 64, exclude)
+
+    out = {"tag": tag, "config": config, "signatures": sig, "meta": meta}
+    t = _load_transcriber(config, run_dir)
+    for split, manifest in (
+            ("heldout", os.path.join(work_dir, "heldout_manifest.json")),
+            ("traindist", traindist_manifest)):
+        with open(manifest, encoding="utf-8") as f:
+            entries = [json.loads(l) for l in f]
+        refs = [e["text"] for e in entries]
+        sigs = [read_audio(e["audio_filepath"], target_sr=SR)[0]
+                for e in entries]
+        hyps = [h.strip() for h in t.transcribe_batch(sigs)]
+        out[f"{split}_utts"] = len(entries)
+        out[f"{split}_offline_wer"] = round(word_error_rate(hyps, refs), 4)
+        out[f"{split}_offline_cer"] = round(
+            word_error_rate(hyps, refs, use_cer=True), 4)
+        s_hyps = _streaming_decode(cfg, run_dir, sigs)
+        if s_hyps is not None:
+            out[f"{split}_streaming_wer"] = round(
+                word_error_rate(s_hyps, refs), 4)
+            out[f"{split}_streaming_cer"] = round(
+                word_error_rate(s_hyps, refs, use_cer=True), 4)
+    # back-compat aliases (round-4 artifact schema)
+    out["offline_wer"] = out["heldout_offline_wer"]
+    out["offline_cer"] = out["heldout_offline_cer"]
     print(json.dumps(out, ensure_ascii=False))
-    with open(os.path.join(work_dir, f"synth_{tag}.json"), "w",
-              encoding="utf-8") as f:
-        json.dump(out, f, ensure_ascii=False)
+    art_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "artifacts", "study")
+    os.makedirs(art_dir, exist_ok=True)
+    for d in (work_dir, art_dir):
+        with open(os.path.join(d, f"synth_{tag}.json"), "w",
+                  encoding="utf-8") as f:
+            json.dump(out, f, ensure_ascii=False, indent=1)
+    # committed loss-curve artifact alongside the result row
+    log_path = os.path.join(run_dir, "train_log.jsonl")
+    if os.path.exists(log_path):
+        import shutil
+
+        shutil.copy(log_path, os.path.join(art_dir,
+                                           f"train_{tag}.jsonl"))
 
 
 def main():
@@ -343,6 +525,18 @@ def main():
     ap.add_argument("--optimizer", default="novograd")
     ap.add_argument("--warmup", type=int, default=None)
     ap.add_argument("--dropout", type=float, default=None)
+    ap.add_argument("--aug", default="speed,gain,noise",
+                    help="comma list of per-read perturbations "
+                         "(subset of speed,gain,noise; empty = clean)")
+    ap.add_argument("--sig", default="v2", choices=["v1", "v2"],
+                    help="char signature family (v1 narrowband formant "
+                         "pairs; v2 speed-robust broadband)")
+    ap.add_argument("--normalize", default=None,
+                    help="featurizer normalize override (e.g. "
+                         "causal_per_feature for streaming-matched "
+                         "training)")
+    ap.add_argument("--num-blocks", type=int, default=None,
+                    help="conformer depth override")
     args = ap.parse_args()
     os.makedirs(args.work_dir, exist_ok=True)
 
@@ -350,13 +544,15 @@ def main():
         from vietasr_tpu.config import load_config
 
         phase_corpus(args.work_dir, args.n_heldout,
-                     load_config(args.config).labels)
+                     load_config(args.config).labels, args.sig)
     elif args.phase == "train":
+        aug = tuple(a for a in args.aug.split(",") if a)
         phase_train(args.work_dir, args.config, args.tag, args.steps,
                     args.batch_size, args.lr, args.optimizer, args.warmup,
-                    args.dropout)
+                    args.dropout, aug, args.sig, args.normalize,
+                    args.num_blocks)
     elif args.phase == "eval":
-        phase_eval(args.work_dir, args.config, args.tag)
+        phase_eval(args.work_dir, args.config, args.tag, args.sig)
 
 
 if __name__ == "__main__":

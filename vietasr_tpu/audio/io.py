@@ -108,7 +108,11 @@ def read_wav(path_or_bytes) -> Tuple[np.ndarray, int]:
                         or _mp3.find_frame_sync(blob) >= 0:
                     try:
                         return _mp3.decode_mp3(blob)
-                    except (ValueError, NotImplementedError):
+                    except (ValueError, NotImplementedError,
+                            RuntimeError):
+                        # RuntimeError covers mpg123 session failures on
+                        # non-mp3 bytes that happened to contain a sync
+                        # pattern — fall through to the original wav error
                         pass
                 raise
         finally:

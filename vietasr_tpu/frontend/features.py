@@ -160,6 +160,26 @@ def _normalize(x, seq_len, normalize_type: str):
         var = jnp.sum(((x - mean[:, None, :]) * mask3) ** 2, axis=1) / (n[:, None] - 1.0)
         std = jnp.sqrt(var) + STD_GUARD
         return (x - mean[:, None, :]) / std[:, None, :]
+    elif normalize_type == "causal_per_feature":
+        # Frame t is normalized by running stats over frames 0..t ONLY —
+        # the exact statistics the online streaming featurizer
+        # (streaming_online.StreamingFeaturizer) applies at serve time.
+        # Training with this mode makes streaming inference match the
+        # training-time computation (SURVEY §5.7's deviation, closed):
+        # the r4 study measured WER 1.0 streaming vs 0.035 offline for a
+        # per_feature-trained model through causal serving stats.
+        mask3 = mask[:, :, None]
+        xm = x * mask3
+        cnt = jnp.cumsum(mask, axis=1)[:, :, None]             # (B, T, 1)
+        cnt_safe = jnp.maximum(cnt, 1.0)
+        s1 = jnp.cumsum(xm, axis=1)
+        s2 = jnp.cumsum(xm * xm, axis=1)
+        mean = s1 / cnt_safe
+        # unbiased var via m2 / max(cnt-1, 1), m2 = s2 - cnt*mean^2
+        var = jnp.maximum(s2 / cnt_safe - mean * mean, 0.0) \
+            * (cnt_safe / jnp.maximum(cnt_safe - 1.0, 1.0))
+        std = jnp.sqrt(var) + STD_GUARD
+        return (x - mean) / std
     elif normalize_type == "all_features":
         d = x.shape[2]
         mask3 = mask[:, :, None]

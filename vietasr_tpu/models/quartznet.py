@@ -258,7 +258,11 @@ def _apply_block(xs, lens_orig, params, stats, bcfg: BlockConfig,
                  and cfg.residual_mode == "add"
                  and cfg.conv_mask
                  and pw_fn is _default_pw
-                 and not bcfg.residual_dense)
+                 and not bcfg.residual_dense
+                 # residual pane 0 must alias the block input: with a
+                 # preceding residual_dense block len(xs) > 1 and pane 0
+                 # is xs[0], not xs[-1] (ADVICE r4)
+                 and len(xs) == 1)
     if use_fused:
         from vietasr_tpu.ops.pallas_repeat import (block_eligible,
                                                    fused_repeat_block)

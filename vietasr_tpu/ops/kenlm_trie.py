@@ -18,21 +18,29 @@ probing module the writer doubles as the fixture generator and the
 reader is validated by score parity against the ARPA scorer):
 
   [Sanity][FixedWidthParameters][u64 counts[order]]  as probing
-    (kenlm_binary.py header docs); model_type 2 or 3
+    (kenlm_binary.py header docs), ALIGN8; model_type 2 or 3
+  [SortedVocabulary]        lm/vocab.cc: u64 n_hashes ("Lead with the
+    number of entries", SortedVocabulary::Size), then n_hashes murmur64a
+    word hashes ASCENDING; word id = 1 + rank (<unk> = 0),
+    bound = n_hashes + 1. The vocabulary precedes the WHOLE search
+    section (GenericModel::SetupMemory does vocab_.SetupMemory before
+    search_.SetupMemory — quant tables are part of search), fixed in
+    round 5 per the r4 advisor finding; rounds 3-4 wrote quant tables
+    first.
   [Quant tables]            QUANT_TRIE only (lm/quantize.hh
-                            SeparatelyQuantize):
+                            SeparatelyQuantize; first search member):
     u8 prob_bits, u8 backoff_bits, 6B pad
     (order-2) x [2^prob_bits f32 prob bin centers]
                [2^backoff_bits f32 backoff bin centers]
     [2^prob_bits f32]       longest order's prob centers
-  [SortedVocabulary]        lm/vocab.cc: u64 n_hashes, then n_hashes
-    murmur64a word hashes ASCENDING; word id = 1 + rank (<unk> = 0),
-    bound = n_hashes + 1
   [Unigram]                 lm/trie.hh UnigramValue:
-    (bound + 1) x {f32 prob; f32 backoff; u64 next}  — `next` = begin
+    (counts[0] + 2) x {f32 prob; f32 backoff; u64 next} — kenlm's
+    Unigram::Size comment: "+1 in case unknown doesn't appear. +1 for
+    the final next." Entries beyond the live range (ids 0..bound-1 plus
+    the end sentinel at index bound) are zero spare. `next` = begin
     index of this word's children in the order-2 table; entry i's child
-    range is [next[i], next[i+1]); last entry is the end sentinel.
-    prob NaN marks "id exists, no unigram entry" (only <unk>/<s>).
+    range is [next[i], next[i+1]). prob NaN marks "id exists, no
+    unigram entry" (only <unk>/<s>).
   [Middle tables, k=2..order-1]   bit-packed records, LSB-first within
     a little-endian stream (util/bit_packing.hh ReadInt57):
     (counts[k-1] + 1) x [word: word_bits][prob][backoff][next: next_bits]
@@ -40,10 +48,25 @@ reader is validated by score parity against the ARPA scorer):
     NonPositiveFloat, backoff: full 32-bit) for TRIE, or bin indices
     (prob_bits/backoff_bits) for QUANT_TRIE. The +1 record is the end
     sentinel (next = counts[k]). Table byte size =
-    ceil(n_records*total_bits/8) + 8 slop (for 8-byte windowed reads),
-    then ALIGN8.
+    ceil(n_records*total_bits/8) + 8 slop (so 8-byte windowed reads
+    never run off the end — BitPacked::BaseSize's "+sizeof(uint64_t) so
+    that ReadInt57 etc don't go segfault"); NO alignment padding between
+    bit-packed tables (round 5; rounds 3-4 ALIGN8'd each table).
   [Longest table, order n]  (counts[order-1]) x [word][prob] bit-packed
   [Vocab strings]           words NUL-separated in word-id order
+
+INTEROP CONFIDENCE (kenlm is not installed in this image and no real
+`build_binary` artifact exists here, so byte layout is reconstructed
+from knowledge of kenlm's sources and validated by self-round-trip +
+ARPA score parity): section ORDER and the vocabulary count prefix are
+high-confidence; the unigram spare slot and the absence of inter-table
+padding are medium; word_bits uses the minimal RequiredBits(bound - 1)
+which matches self-written files but has NOT been verified against a
+real artifact (kenlm may size conservatively from counts[0] + 1). If a
+real TRIE binary fails to load (the reader checks that the strings
+section starts with "<unk>" and raises), the supported workaround is to
+rebuild from the ARPA: `--lm-path model.arpa` loads directly, and
+write_kenlm_trie re-emits a loadable binary.
 
 Trie structure: the path for n-gram (g1..gn) is REVERSED —
 (gn, g_{n-1}, ..., g1) — so lookup starts at unigram[gn] and extends
@@ -276,6 +299,10 @@ def write_kenlm_trie(lm, path: str, *,
     header += b"\x00" * (_align8(len(header)) - len(header))
     out = bytearray(header)
 
+    # vocabulary precedes the whole search section (incl. quant tables)
+    out += struct.pack("<Q", len(hashed))
+    out += np.array([h for h, _ in hashed], "<u8").tobytes()
+
     if quant:
         out += struct.pack("<BB6x", prob_bits, backoff_bits)
         for k in range(order - 2):
@@ -283,19 +310,17 @@ def write_kenlm_trie(lm, path: str, *,
             out += bo_centers[k].astype("<f4").tobytes()
         out += prob_centers[order - 2].astype("<f4").tobytes()
 
-    out += struct.pack("<Q", len(hashed))
-    out += np.array([h for h, _ in hashed], "<u8").tobytes()
-
-    # unigrams
-    uni = np.zeros(bound + 1, dtype=[("prob", "<f4"), ("bo", "<f4"),
-                                     ("next", "<u8")])
-    uni["prob"][:] = np.nan
+    # unigrams: counts[0] + 2 slots (Unigram::Size — spare for a missing
+    # <unk> plus the end sentinel); live entries are ids 0..bound-1 and
+    # the sentinel at index bound, the rest zero spare
+    uni = np.zeros(counts[0] + 2, dtype=[("prob", "<f4"), ("bo", "<f4"),
+                                         ("next", "<u8")])
+    uni["prob"][: bound] = np.nan
     for (wid,), lp, bo in paths[0]:
         uni["prob"][wid] = lp
         uni["bo"][wid] = bo
-    uni["next"][:] = nexts[0]
+    uni["next"][: bound + 1] = nexts[0]
     out += uni.tobytes()
-    out += b"\x00" * (_align8(len(out)) - len(out))
 
     word_bits = _required_bits(bound - 1)
     for k in range(1, order):
@@ -332,8 +357,7 @@ def write_kenlm_trie(lm, path: str, *,
             w.write(0, pb)
             w.write(0, bb)
             w.write(int(nexts[k][len(rows)]), next_bits)
-        out += w.finish()
-        out += b"\x00" * (_align8(len(out)) - len(out))
+        out += w.finish()                 # no inter-table padding
 
     words = [UNK] + [w for _, w in hashed]
     out += b"\x00".join(w.encode("utf-8") for w in words) + b"\x00"
@@ -373,6 +397,12 @@ class KenLMTrie(KatzScorerMixin):
         self.order = order
         self.counts = list(counts)
 
+        # vocabulary first (precedes the whole search section)
+        (n_hashes,) = struct.unpack_from("<Q", data, off)
+        off += 8
+        off += 8 * n_hashes          # hashes: ids come from string order
+        self.bound = n_hashes + 1
+
         prob_centers: List[np.ndarray] = []
         bo_centers: List[np.ndarray] = []
         if quant:
@@ -389,18 +419,14 @@ class KenLMTrie(KatzScorerMixin):
                 data, "<f4", 1 << prob_bits, off))
             off += 4 << prob_bits
 
-        (n_hashes,) = struct.unpack_from("<Q", data, off)
-        off += 8
-        off += 8 * n_hashes          # hashes: ids come from string order
-        self.bound = n_hashes + 1
-
+        # unigram section spans counts[0] + 2 slots (spare included)
         uni = np.frombuffer(data, dtype=[("prob", "<f4"), ("bo", "<f4"),
                                          ("next", "<u8")],
                             count=self.bound + 1, offset=off)
         self._uni_prob = uni["prob"][: self.bound].astype(np.float64)
         self._uni_bo = uni["bo"][: self.bound].astype(np.float64)
         self._uni_next = uni["next"].astype(np.int64)
-        off = _align8(off + uni.nbytes)
+        off += (counts[0] + 2) * 16
 
         word_bits = _required_bits(self.bound - 1)
         buf = np.frombuffer(data, np.uint8)
@@ -442,12 +468,19 @@ class KenLMTrie(KatzScorerMixin):
                 nxt = _read_bits_np(buf, rec + word_bits + pb + bb,
                                     next_bits).astype(np.int64)
             self._tables.append((words, probs, bos_, nxt))
-            nbytes = (n_rec * total_bits + 7) // 8 + 8
-            off = _align8(off + nbytes)
+            off += (n_rec * total_bits + 7) // 8 + 8   # no inter-table pad
 
         if not has_vocab:
             raise ValueError(f"{path}: binary lacks vocabulary strings; "
                              "word lookup is impossible")
+        if not data[off:].startswith(UNK.encode("utf-8") + b"\x00"):
+            raise ValueError(
+                f"{path}: vocab strings section not found where the "
+                "computed layout ends — the file's section sizes diverge "
+                "from this reader's layout (see the module docstring's "
+                "interop-confidence note). Workaround: load the ARPA "
+                "directly (--lm-path model.arpa) or re-emit with "
+                "write_kenlm_trie")
         strings = data[off:].split(b"\x00")
         self.words = [s.decode("utf-8") for s in strings[: self.bound]]
         self.word_id = {w: i for i, w in enumerate(self.words)}
@@ -471,7 +504,12 @@ class KenLMTrie(KatzScorerMixin):
         if np.isnan(p):
             if len(ids) == 1:
                 return None
-            p, bo = None, 0.0     # traversable blank (<s> has no unigram)
+            # traversable blank (<s> has no unigram PROB) — but its stored
+            # backoff weight is real and must still apply (ADVICE r4)
+            p = None
+            bo = float(self._uni_bo[last])
+            if not np.isfinite(bo):
+                bo = 0.0
         else:
             bo = float(self._uni_bo[last])
         lo = int(self._uni_next[last])

@@ -14,10 +14,13 @@ Mechanics: every "same"-padded conv becomes a VALID conv over
 conv-center offset k//2; the new carry is the last k-1 frames. The stride-2
 prologue keeps phase by requiring even chunk lengths.
 
-Normalization deviation (documented, SURVEY §5.7): per-feature stats are
-CAUSAL RUNNING stats (count/mean/M2 over all frames seen so far) instead of
-utterance-global — exactness tests therefore run with normalize="" and the
-causal-norm path is validated separately for stability.
+Normalization (SURVEY §5.7 deviation, CLOSED in round 5): per-feature
+stats are CAUSAL per-frame running stats (frame t normalized over frames
+0..t). The offline featurizer implements the same statistics as
+normalize="causal_per_feature" (features._normalize), so a model TRAINED
+with that mode is served here with matched normalization — no
+train/serve distribution shift. Exactness tests still run the conv
+machinery with normalize="".
 
 Works for stride-1/dilation-1 separable QuartzNet blocks + the dense k=1
 epilogue + head (i.e. the shipped configs). BN must be folded (inference).
@@ -44,7 +47,7 @@ class StreamingFeaturizer:
     streaming_conformer.py).
 
     State is a flat 5-tuple of arrays `(audio, preemph_last, norm_count,
-    norm_mean, norm_m2)` so callers can embed it in their own state
+    norm_s1, norm_s2)` so callers can embed it in their own state
     pytrees. `step(fields, chunk)` consumes a raw-sample chunk (multiple
     of hop) and emits exactly `len(chunk)/hop` frames whose centers land
     on the offline hop grid; normalization is causal running stats (the
@@ -84,7 +87,7 @@ class StreamingFeaturizer:
     def step(self, fields, chunk: jnp.ndarray):
         """fields: the 5-tuple; chunk: (S,) raw samples, S a multiple of
         hop. Returns (new_fields, (S/hop, n_mels) frames)."""
-        audio, preemph_last, norm_count, norm_mean, norm_m2 = fields
+        audio, preemph_last, norm_count, norm_s1, norm_s2 = fields
         fc = self.fc
         hop, n_fft = fc.hop_length, fc.fft_length
         x = jnp.concatenate([audio, chunk])
@@ -104,23 +107,28 @@ class StreamingFeaturizer:
         mel = jnp.log(power @ self._mel + fc.log_zero_guard_value)
 
         if self.causal_norm:
-            # Welford-style running stats over all frames so far
-            cnt0 = norm_count
-            n = jnp.asarray(n_frames, jnp.float32)
-            mean_c = jnp.mean(mel, axis=0)
-            m2_c = jnp.sum((mel - mean_c) ** 2, axis=0)
-            delta = mean_c - norm_mean
-            cnt = cnt0 + n
-            mean = norm_mean + delta * n / cnt
-            m2 = norm_m2 + m2_c + delta ** 2 * cnt0 * n / cnt
-            std = jnp.sqrt(m2 / jnp.maximum(cnt - 1, 1.0)) + 1e-5
+            # PER-FRAME running stats: frame t is normalized over frames
+            # 0..t only, exactly the offline normalize="causal_per_feature"
+            # cumsum formulation (features._normalize) — training with
+            # that mode and serving through here see the same statistics.
+            # Carried fields are raw sums (count, Σx, Σx²).
+            cnt = norm_count + jnp.arange(1, n_frames + 1,
+                                          dtype=jnp.float32)   # (n,)
+            s1 = norm_s1 + jnp.cumsum(mel, axis=0)             # (n, M)
+            s2 = norm_s2 + jnp.cumsum(mel * mel, axis=0)
+            cnt_safe = jnp.maximum(cnt, 1.0)[:, None]
+            mean = s1 / cnt_safe
+            var = jnp.maximum(s2 / cnt_safe - mean * mean, 0.0) \
+                * (cnt_safe / jnp.maximum(cnt_safe - 1.0, 1.0))
+            std = jnp.sqrt(var) + 1e-5
             out = (mel - mean) / std
+            new_norm = (cnt[-1], s1[-1], s2[-1])
         else:
-            cnt, mean, m2 = norm_count, norm_mean, norm_m2
+            new_norm = (norm_count, norm_s1, norm_s2)
             out = mel
 
-        new_fields = (x[-self.audio_carry:], x[-(self.audio_carry + 1)],
-                      cnt, mean, m2)
+        new_fields = (x[-self.audio_carry:], x[-(self.audio_carry + 1)]) \
+            + new_norm
         return new_fields, out                       # (n_frames, n_mels)
 
 
@@ -131,13 +139,13 @@ class StreamState:
     audio: jnp.ndarray                  # (n_fft - hop,) raw-sample carry
     preemph_last: jnp.ndarray           # () last raw sample
     norm_count: jnp.ndarray             # () frames seen
-    norm_mean: jnp.ndarray              # (n_mels,)
-    norm_m2: jnp.ndarray                # (n_mels,)
+    norm_s1: jnp.ndarray                # (n_mels,) running Σx
+    norm_s2: jnp.ndarray                # (n_mels,) running Σx²
     blocks: Tuple[jnp.ndarray, ...]     # per conv block: (k-1, C) carry
 
 
 def tree_flatten_state(s):  # registered below
-    return ((s.audio, s.preemph_last, s.norm_count, s.norm_mean, s.norm_m2,
+    return ((s.audio, s.preemph_last, s.norm_count, s.norm_s1, s.norm_s2,
              s.blocks), None)
 
 
@@ -201,21 +209,21 @@ class OnlineTranscriber:
             k = b.effective_kernel
             carries.append(jnp.zeros((k - 1, c_in), jnp.float32))
             c_in = b.filters
-        audio, pre, cnt, mean, m2 = self._sf.init_fields()
+        audio, pre, cnt, s1, s2 = self._sf.init_fields()
         return StreamState(
             audio=audio, preemph_last=pre,
-            norm_count=cnt, norm_mean=mean, norm_m2=m2,
+            norm_count=cnt, norm_s1=s1, norm_s2=s2,
             blocks=tuple(carries),
         )
 
     def _featurize_chunk(self, state: StreamState, chunk: jnp.ndarray):
         """chunk: (S,) raw samples, S a multiple of hop. Emits S/hop frames."""
         fields = (state.audio, state.preemph_last, state.norm_count,
-                  state.norm_mean, state.norm_m2)
-        (audio, pre, cnt, mean, m2), out = self._sf.step(fields, chunk)
+                  state.norm_s1, state.norm_s2)
+        (audio, pre, cnt, s1, s2), out = self._sf.step(fields, chunk)
         new_state = dataclasses.replace(
             state, audio=audio, preemph_last=pre,
-            norm_count=cnt, norm_mean=mean, norm_m2=m2)
+            norm_count=cnt, norm_s1=s1, norm_s2=s2)
         return new_state, out                        # (n_frames, n_mels)
 
     def _block_chunk(self, carry, x, params, bcfg):

@@ -202,23 +202,40 @@ def _prefetch(iterable, depth: int = 2):
 
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     done = object()
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        # bounded put that gives up when the consumer abandoned the
+        # generator (break / exception mid-epoch) — otherwise each
+        # abandoned epoch leaks a thread blocked on a full queue
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for item in iterable:
-                q.put(item)
-            q.put(done)
+                if not _put(item):
+                    return
+            _put(done)
         except BaseException as e:        # forwarded, not swallowed
-            q.put(e)
+            _put(e)
 
     threading.Thread(target=worker, daemon=True).start()
-    while True:
-        item = q.get()
-        if item is done:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is done:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
 
 
 @dataclasses.dataclass
