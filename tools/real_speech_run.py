@@ -74,9 +74,27 @@ def main():
     ap.add_argument("--epochs", type=int, default=400)
     ap.add_argument("--batch-size", type=int, default=13)
     ap.add_argument("--lr", type=float, default=0.02)
+    ap.add_argument("--normalize", default=None,
+                    help="featurizer normalize override (e.g. "
+                         "causal_per_feature to train the model the "
+                         "ring-buffer streamer serves with MATCHED "
+                         "normalization — the streaming anchor)")
     args = ap.parse_args()
 
     manifest = build_manifest(args.work_dir)
+
+    if args.normalize is not None:
+        import dataclasses
+
+        from vietasr_tpu.config import load_config, save_config
+
+        cfg = load_config(args.config)
+        cfg = dataclasses.replace(
+            cfg, featurizer=dataclasses.replace(cfg.featurizer,
+                                                normalize=args.normalize))
+        patched = os.path.join(args.work_dir, "config.yaml")
+        save_config(cfg, patched)
+        args.config = patched
 
     from vietasr_tpu.cli import main as cli_main
 

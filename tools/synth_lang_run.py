@@ -267,16 +267,16 @@ def phase_corpus(work_dir, n_heldout, labels, sig="v2"):
                 parts.append(bank[w])
                 parts.append(np.zeros(rng.randint(480, 1280), np.float32))
             text = " ".join(seq)
-            sig = np.concatenate(parts[:-1])
+            wave_arr = np.concatenate(parts[:-1])
             need = (len(text) + sum(a == b for a, b in
                                     zip(text, text[1:])) + 8) * 4 * 160
-            if len(sig) < need:
-                sig = np.concatenate(
-                    [sig, np.zeros(need - len(sig), np.float32)])
+            if len(wave_arr) < need:
+                wave_arr = np.concatenate(
+                    [wave_arr, np.zeros(need - len(wave_arr), np.float32)])
             wav = os.path.join(d, f"utt{i:04d}.wav")
-            _write_wav(wav, sig)
+            _write_wav(wav, wave_arr)
             f.write(json.dumps({"audio_filepath": wav,
-                                "duration": round(len(sig) / SR, 3),
+                                "duration": round(len(wave_arr) / SR, 3),
                                 "text": text}, ensure_ascii=False) + "\n")
     print(json.dumps({"manifest": path, "utts": len(seqs),
                       "vocab": len(bank), "signatures": sig}))

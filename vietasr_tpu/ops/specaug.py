@@ -19,8 +19,14 @@ import jax.numpy as jnp
 from vietasr_tpu.config import SpecAugmentConfig
 
 
-def _band_mask(rng, b: int, dim: int, n_masks: int, width: int):
-    """(B, dim) bool — True where zeroed. n_masks bands per sample."""
+def _band_mask(rng, b: int, dim: int, n_masks: int, width: int,
+               active=None):
+    """(B, dim) bool — True where zeroed. n_masks bands per sample.
+
+    `active` (optional traced scalar) gates how many of the n_masks
+    bands apply: band i is live iff i < active. n_masks stays the STATIC
+    maximum, so annealing the count (train/freeze.py value schedules)
+    never changes shapes or retraces."""
     r_start, r_width = jax.random.split(rng)
     starts = jax.random.uniform(r_start, (b, n_masks)) * max(dim - width, 1)
     starts = jnp.floor(starts).astype(jnp.int32)
@@ -28,19 +34,24 @@ def _band_mask(rng, b: int, dim: int, n_masks: int, width: int):
     widths = jnp.floor(widths).astype(jnp.int32)
     idx = jnp.arange(dim)[None, None, :]
     bands = (idx >= starts[..., None]) & (idx < (starts + widths)[..., None])
+    if active is not None:
+        bands = bands & (jnp.arange(n_masks)[None, :, None] < active)
     return jnp.any(bands, axis=1)
 
 
-def spec_augment(rng, x: jnp.ndarray, cfg: SpecAugmentConfig) -> jnp.ndarray:
+def spec_augment(rng, x: jnp.ndarray, cfg: SpecAugmentConfig, *,
+                 active_freq=None, active_time=None) -> jnp.ndarray:
     """Frequency + time band masking (SpecAugment, arXiv:1904.08779)."""
     b, t, d = x.shape
     r_f, r_t = jax.random.split(rng)
     mask = jnp.zeros((b, t, d), bool)
     if cfg.freq_masks > 0:
-        fm = _band_mask(r_f, b, d, cfg.freq_masks, cfg.freq_width)
+        fm = _band_mask(r_f, b, d, cfg.freq_masks, cfg.freq_width,
+                        active=active_freq)
         mask = mask | fm[:, None, :]
     if cfg.time_masks > 0:
-        tm = _band_mask(r_t, b, t, cfg.time_masks, cfg.time_width)
+        tm = _band_mask(r_t, b, t, cfg.time_masks, cfg.time_width,
+                        active=active_time)
         mask = mask | tm[:, :, None]
     return jnp.where(mask, 0.0, x)
 
@@ -70,11 +81,15 @@ def spec_cutout(rng, x: jnp.ndarray, cfg: SpecAugmentConfig) -> jnp.ndarray:
     return jnp.where(rects, 0.0, x)
 
 
-def apply_spec_augment(rng, x: jnp.ndarray, cfg: SpecAugmentConfig) -> jnp.ndarray:
+def apply_spec_augment(rng, x: jnp.ndarray, cfg: SpecAugmentConfig, *,
+                       active_freq=None, active_time=None) -> jnp.ndarray:
     """SpectrogramAugmentation NM equivalent: cutout then specaugment
-    (reference audio_preprocessing.py:583-608 applies SpecCutout first)."""
+    (reference audio_preprocessing.py:583-608 applies SpecCutout first).
+    active_freq/active_time: optional traced counts (<= the config's
+    static maxima) for schedule-annealed masking."""
     r_c, r_a = jax.random.split(rng)
     x = spec_cutout(r_c, x, cfg)
     if cfg.freq_masks > 0 or cfg.time_masks > 0:
-        x = spec_augment(r_a, x, cfg)
+        x = spec_augment(r_a, x, cfg, active_freq=active_freq,
+                         active_time=active_time)
     return x

@@ -27,3 +27,5 @@ __all__ = [
     "levenshtein",
     "CheckpointManager",
 ]
+from vietasr_tpu.train.freeze import (freeze, unfreeze_schedule,
+                                      make_value_schedule)

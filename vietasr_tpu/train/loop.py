@@ -69,7 +69,8 @@ def make_loss_fn(cfg: ModelConfig, *, use_specaug: bool = True,
     featurize = make_featurizer(cfg.featurizer)
     blank = cfg.num_classes
 
-    def loss_fn(params, batch_stats, batch, rng, training: bool):
+    def loss_fn(params, batch_stats, batch, rng, training: bool,
+                sched=None):
         from vietasr_tpu.utils.typing import assert_audio_batch, assert_labels
 
         assert_audio_batch(batch["signal"], batch["signal_lens"])
@@ -79,7 +80,11 @@ def make_loss_fn(cfg: ModelConfig, *, use_specaug: bool = True,
         feats, flens = featurize(batch["signal"], batch["signal_lens"],
                                  rng=r_dither, training=training)
         if training and use_specaug:
-            feats = apply_spec_augment(r_aug, feats, cfg.spec_augment)
+            sched = sched or {}
+            feats = apply_spec_augment(
+                r_aug, feats, cfg.spec_augment,
+                active_freq=sched.get("specaug_freq_masks"),
+                active_time=sched.get("specaug_time_masks"))
         log_probs, enc_lens, new_stats = model_apply(
             variables, feats, flens, cfg=cfg, training=training,
             rng=r_drop, compute_dtype=compute_dtype)
@@ -112,36 +117,49 @@ def make_train_step(
     lr_schedule=None,
     compute_dtype=None,
     ctc_impl: str = "scan",
+    value_schedules=None,
 ):
-    """Returns train_step(state, batch_dict, rng) -> (state, metrics)."""
+    """Returns train_step(state, batch_dict, rng) -> (state, metrics).
+
+    value_schedules: optional {name: fn(step) -> scalar} evaluated on the
+    traced step count each step (train/freeze.make_value_schedule). Known
+    names route to knobs inside the step (specaug_freq_masks /
+    specaug_time_masks anneal the live SpecAugment band counts); every
+    scheduled value is also reported in metrics. Replaces the
+    reference's ValueSetterCallback (callbacks.py:515-556) without
+    host-side attribute pokes or recompiles."""
     loss_fn = make_loss_fn(cfg, use_specaug=use_specaug,
                            compute_dtype=compute_dtype, ctc_impl=ctc_impl)
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
     def one_microbatch(carry, micro):
-        params, stats, grad_sum, loss_sum, rng = carry
+        params, stats, grad_sum, loss_sum, rng, sched = carry
         rng, sub = jax.random.split(rng)
         (loss, (new_stats, _, _)), grads = grad_fn(params, stats, micro, sub,
-                                                   True)
+                                                   True, sched)
         grad_sum = jax.tree_util.tree_map(jnp.add, grad_sum, grads)
-        return (params, new_stats, grad_sum, loss_sum + loss, rng), None
+        return (params, new_stats, grad_sum, loss_sum + loss, rng,
+                sched), None
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
                    rng: jax.Array):
+        sched = {k: fn(state.step)
+                 for k, fn in (value_schedules or {}).items()}
         if grad_accum > 1:
             micro = jax.tree_util.tree_map(
                 lambda x: x.reshape((grad_accum, x.shape[0] // grad_accum)
                                     + x.shape[1:]), batch)
             zero_grads = jax.tree_util.tree_map(jnp.zeros_like, state.params)
-            (_, new_stats, grad_sum, loss_sum, _), _ = jax.lax.scan(
+            (_, new_stats, grad_sum, loss_sum, _, _), _ = jax.lax.scan(
                 one_microbatch,
-                (state.params, state.batch_stats, zero_grads, 0.0, rng),
+                (state.params, state.batch_stats, zero_grads, 0.0, rng,
+                 sched),
                 micro)
             grads = jax.tree_util.tree_map(lambda g: g / grad_accum, grad_sum)
             loss = loss_sum / grad_accum
         else:
             (loss, (new_stats, _, _)), grads = grad_fn(
-                state.params, state.batch_stats, batch, rng, True)
+                state.params, state.batch_stats, batch, rng, True, sched)
 
         # NaN/inf guard. Infeasible-sample sentinels are masked per sample
         # in make_loss_fn, so a masked-NaN row can leave loss finite while
@@ -171,6 +189,7 @@ def make_train_step(
                    "grad_norm": jnp.where(finite, grad_norm, jnp.inf)}
         if lr_schedule is not None:
             metrics["lr"] = lr_schedule(state.step)
+        metrics.update(sched)
         return state, metrics
 
     return train_step
@@ -271,6 +290,9 @@ class Trainer:
     ctc_impl: str = "auto"
     # background-thread batch prefetch depth (0 disables)
     prefetch_depth: int = 2
+    # {name: fn(step) -> scalar} traced annealing knobs (train/freeze.py
+    # make_value_schedule); ValueSetterCallback equivalent
+    value_schedules: Optional[dict] = None
 
     def __post_init__(self):
         dtype = jnp.dtype(self.compute_dtype) if self.compute_dtype else None
@@ -282,7 +304,8 @@ class Trainer:
         self._train_step = jax.jit(make_train_step(
             self.cfg, self.optimizer, grad_accum=self.grad_accum,
             use_specaug=self.use_specaug, lr_schedule=self.lr_schedule,
-            compute_dtype=dtype, ctc_impl=impl))
+            compute_dtype=dtype, ctc_impl=impl,
+            value_schedules=self.value_schedules))
         self._eval_step = jax.jit(make_eval_step(self.cfg))
         self.callbacks = []
         self.history = []
