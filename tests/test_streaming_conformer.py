@@ -137,19 +137,23 @@ def test_raw_audio_stream_matches_offline_pipeline():
     chunks = [signal[i * cs:(i + 1) * cs] for i in range(n_chunks)]
     got = ot.stream(chunks, drop_prefix=False)
 
-    # offline: featurize the zero-prefixed signal, take the exact frame
-    # window the stream saw, run the offline chunked forward
-    fc = cfg.featurizer
-    hop, n_fft = fc.hop_length, fc.fft_length
-    carry = ot._sf.audio_carry
-    z_len = -(-carry // hop) * hop
-    featurize = make_featurizer(fc)
-    feats, flens = featurize(
-        jnp.asarray(np.concatenate([np.zeros(z_len, np.float32), signal]))
-        [None],
-        jnp.asarray([z_len + len(signal)], np.int32))
-    offset = (z_len - (carry - n_fft // 2)) // hop
-    window = np.asarray(feats[0])[offset:offset + n_chunks * ot._enc.t_in]
+    # offline: run the offline chunked forward on EXACTLY the frames the
+    # stream emitted (the featurizer's own offline-equality is asserted
+    # in test_streaming_online; round 5 changed its boundary contract —
+    # reflect carry + junk zeroing — so the window is taken from the
+    # streaming featurizer itself rather than re-derived)
+    from vietasr_tpu.streaming_online import StreamingFeaturizer
+
+    sf = StreamingFeaturizer(cfg.featurizer, causal_norm=False,
+                             junk_align=4)
+    assert sf.audio_carry == ot._sf.audio_carry
+    fields = sf.init_fields()
+    fields = (sf.reflect_carry(jnp.asarray(chunks[0])),) + fields[1:]
+    frames = []
+    for c in chunks:
+        fields, out = sf.step(fields, jnp.asarray(c))
+        frames.append(np.asarray(out))
+    window = np.concatenate(frames, axis=0)[: n_chunks * ot._enc.t_in]
     want = offline(variables, cfg, jnp.asarray(window))
 
     assert got.shape == want.shape

@@ -47,6 +47,12 @@ def offline_log_probs(cfg, variables, signal):
 
 
 def test_online_matches_offline_exactly():
+    """Round-5 contract UPGRADE: the streamed output (prefix dropped,
+    flush=True) equals the offline forward of THE AUDIO ITSELF — not of
+    a zero-prefixed surrogate. Three mechanisms make this exact: the
+    reflect-filled audio carry (boundary frame values), per-layer
+    masking of pre-audio/pad-step positions (offline conv_mask
+    semantics), and the zero-feature flush (offline right padding)."""
     cfg, variables = small_model(normalize="")
     ot = OnlineTranscriber(cfg, variables, causal_norm=False)
 
@@ -54,51 +60,45 @@ def test_online_matches_offline_exactly():
     sr = 16000
     signal = (rng.randn(sr * 3) * 0.1).astype(np.float32)
 
-    # streaming over 0.2 s chunks (3200 samples, multiple of 2*hop)
     chunk = 3200
     chunks = [signal[i:i + chunk] for i in range(0, len(signal), chunk)]
-    stream_lp = ot.stream(chunks, drop_prefix=False)
+    stream_lp = ot.stream(chunks, flush=True)
 
-    # offline on the zero-context-prefixed signal (what streaming computes);
-    # the prefix must be a hop multiple to keep the frame grid aligned
-    hop = cfg.featurizer.hop_length
-    z_len = -(-ot._audio_carry // hop) * hop
-    want = offline_log_probs(
-        cfg, variables,
-        np.concatenate([np.zeros(z_len, np.float32), signal]))
+    want = offline_log_probs(cfg, variables, signal)
+    m = min(len(stream_lp), len(want))
+    assert m >= len(want) - 1          # flush drains ~all offline frames
+    err = np.abs(stream_lp[:m] - want[:m]).max()
+    assert err < 1e-4, err
 
-    # Find the alignment on the steady-state tail (the first
-    # `prefix_frames` differ by design: the zero carry stands in for
-    # offline's silence-mel boundary values and those frames are dropped
-    # by the public API), then require EXACT match beyond the prefix.
-    best_off, best_err = None, np.inf
-    for off in range(-16, 16):
-        a = stream_lp[max(0, -off):]
-        b = want[max(0, off):]
-        m = min(len(a), len(b))
-        if m < 60:
-            continue
-        err = np.abs(a[m - 50:m - 10] - b[m - 50:m - 10]).max()
-        if err < best_err:
-            best_off, best_err = off, err
-    assert best_err < 1e-4, (best_off, best_err)
-    a = stream_lp[max(0, -best_off):]
-    b = want[max(0, best_off):]
-    m = min(len(a), len(b))
-    exact_from = ot.prefix_frames
-    err_steady = np.abs(a[exact_from:m] - b[exact_from:m]).max()
-    assert err_steady < 1e-4, err_steady
+    # without flush: the emitted frames still match offline's prefix
+    nf = ot.stream(chunks)
+    m2 = min(len(nf), len(want))
+    assert np.abs(nf[:m2] - want[:m2]).max() < 1e-4
 
-    # public API: prefix dropped -> aligns with audible content
-    dropped = ot.stream(chunks)
-    assert len(dropped) == len(stream_lp) - ot.prefix_frames
+
+def test_online_causal_matches_offline_causal():
+    """Same contract WITH normalization: causal_per_feature offline ==
+    causal streamer (matched stats, the serving configuration the synth
+    study trains)."""
+    cfg, variables = small_model(normalize="causal_per_feature")
+    ot = OnlineTranscriber(cfg, variables, causal_norm=True)
+    rng = np.random.RandomState(5)
+    signal = (rng.randn(16000 * 2) * 0.1).astype(np.float32)
+    chunks = [signal[i:i + 3200] for i in range(0, len(signal), 3200)]
+    stream_lp = ot.stream(chunks, flush=True)
+    want = offline_log_probs(cfg, variables, signal)
+    m = min(len(stream_lp), len(want))
+    assert m >= len(want) - 1
+    err = np.abs(stream_lp[:m] - want[:m]).max()
+    assert err < 5e-4, err
 
 
 def test_online_prefix_formula():
     cfg, variables = small_model()
     ot = OnlineTranscriber(cfg, variables)
-    # featurizer junk + ceil((j+half)/stride) cascade
-    j = (ot._audio_carry - 256) // 160 + 1
+    # featurizer junk (ceil fencepost, round-5 fix) + the
+    # ceil((j+half)/stride) cascade
+    j = -(-(ot._audio_carry - 256) // 160)
     for b in cfg.encoder.blocks:
         j = -(-(j + (b.effective_kernel - 1) // 2) // b.stride)
     assert ot.prefix_frames == j
@@ -162,17 +162,23 @@ def test_causal_norm_offline_matches_streaming_formula():
 
     raw = run(False)
     streamed = run(True)
+    # the streamer EXCLUDES its first junk_frames (zero-carry outliers)
+    # from the running stats, so streamed[j + t] is normalized over raw
+    # frames j..j+t — i.e. the offline causal normalization of the
+    # post-junk subsequence
+    j = StreamingFeaturizer(fc, causal_norm=False).junk_frames
     offline = np.asarray(_normalize(
-        jnp.asarray(raw)[None], jnp.asarray([raw.shape[0]], np.int32),
+        jnp.asarray(raw[j:])[None],
+        jnp.asarray([raw.shape[0] - j], np.int32),
         "causal_per_feature"))[0]
-    np.testing.assert_allclose(streamed, offline, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(streamed[j:], offline, rtol=1e-4, atol=1e-4)
 
 
 def test_causal_per_feature_numpy_reference():
     """Offline causal mode == per-frame loop over prefix stats."""
     import jax.numpy as jnp
 
-    from vietasr_tpu.frontend.features import STD_GUARD, _normalize
+    from vietasr_tpu.frontend.features import CAUSAL_STD_GUARD, _normalize
 
     rng = np.random.RandomState(4)
     x = rng.randn(2, 9, 5).astype(np.float32) * 3.0 + 1.0
@@ -184,6 +190,6 @@ def test_causal_per_feature_numpy_reference():
             pre = x[b, : t + 1]
             mean = pre.mean(axis=0)
             var = pre.var(axis=0) * ((t + 1) / max(t, 1))
-            std = np.sqrt(var) + STD_GUARD
+            std = np.sqrt(var) + CAUSAL_STD_GUARD
             np.testing.assert_allclose(got[b, t], (x[b, t] - mean) / std,
                                        rtol=2e-4, atol=2e-4)

@@ -45,6 +45,7 @@ class CachedDataset:
         self.inner = inner
         self.cache = {}
         self.entries = inner.entries
+        self.sample_rate = inner.sample_rate
         self.num_dropped = 0
 
     def __len__(self):

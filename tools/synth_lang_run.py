@@ -435,14 +435,13 @@ def _streaming_decode(cfg, run_dir, sigs):
     ot = OnlineTranscriber(cfg, fold_batchnorm(variables, cfg.encoder),
                            causal_norm=True)
     cs = 3200                                # 0.2 s, multiple of 2*hop
-    # flush the decoder's algorithmic latency (half the receptive field)
-    tail = ot.prefix_frames * cfg.featurizer.hop_length * 2
     for sig in sigs:
         pad = (-len(sig)) % cs
-        padded = np.concatenate(
-            [sig, np.zeros(pad + tail + (-tail) % cs, np.float32)])
+        padded = np.concatenate([sig, np.zeros(pad, np.float32)])
+        # flush=True drains the RF/2 lookahead on zero FEATURES (offline
+        # right-padding semantics), not on featurized silence
         lp = ot.stream([padded[i:i + cs]
-                        for i in range(0, len(padded), cs)])
+                        for i in range(0, len(padded), cs)], flush=True)
         hyps.append(_greedy_text(lp, cfg.labels))
     return hyps
 

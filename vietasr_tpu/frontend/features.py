@@ -37,6 +37,15 @@ from vietasr_tpu.frontend.mel import hann_window, mel_filterbank
 
 LOG_ZERO_GUARD = 2.0 ** -24
 STD_GUARD = 1e-5
+# causal mode uses a LARGER guard: constant (silent) mel bins have ~zero
+# variance, so a 1e-5 guard amplifies fp accumulation noise ~1e5x into
+# multi-sigma feature values — and offline (single cumsum) vs streaming
+# (carried per-chunk sums) accumulate in different orders, so those bins
+# DISAGREE between training and serving. 1e-2 caps the amplification at
+# ~1e-4 while leaving active bins (std ~ 1) within 1% (measured round 5:
+# streaming WER 0.218 vs offline 0.093 with the 1e-5 guard was the last
+# residual of the streaming-garbage finding)
+CAUSAL_STD_GUARD = 1e-2
 
 
 @dataclasses.dataclass(frozen=True)
@@ -178,7 +187,7 @@ def _normalize(x, seq_len, normalize_type: str):
         # unbiased var via m2 / max(cnt-1, 1), m2 = s2 - cnt*mean^2
         var = jnp.maximum(s2 / cnt_safe - mean * mean, 0.0) \
             * (cnt_safe / jnp.maximum(cnt_safe - 1.0, 1.0))
-        std = jnp.sqrt(var) + STD_GUARD
+        std = jnp.sqrt(var) + CAUSAL_STD_GUARD
         return (x - mean) / std
     elif normalize_type == "all_features":
         d = x.shape[2]

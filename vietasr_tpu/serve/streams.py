@@ -154,7 +154,7 @@ class StreamPool:
         # (un-fed slots keep their state). Committing inside jit matters:
         # an eager tree_map of jnp.where over the ~dozens of state leaves
         # costs one dispatch each on a remote-attached chip.
-        def pool_step(states, batch, fed):
+        def pool_step(states, batch, fed, pad, virgin):
             if batch.dtype == jnp.uint8:
                 # G.711 wire format (mu-law by default, A-law via
                 # wire_encoding="alaw"): 8x fewer host->device bytes than
@@ -169,7 +169,17 @@ class StreamPool:
             elif batch.dtype == jnp.int16:
                 # int16 wire format: 4x fewer host->device bytes than f32
                 batch = batch.astype(jnp.float32) / 32768.0
-            new_states, lp = jax.vmap(transcriber._step_impl)(states, batch)
+            # virgin slots: reflect-fill the audio carry from their first
+            # chunk so boundary frames (and the causal running stats they
+            # seed) match the offline featurizer exactly
+            seeded = jax.vmap(transcriber.seed_carry)(states, batch)
+            states = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(
+                    virgin.reshape((virgin.shape[0],)
+                                   + (1,) * (a.ndim - 1)), a, b),
+                seeded, states)
+            new_states, lp = jax.vmap(transcriber._step_impl)(states, batch,
+                                                              pad)
 
             def commit(new, old):
                 mask = fed.reshape((fed.shape[0],) + (1,) * (new.ndim - 1))
@@ -183,8 +193,8 @@ class StreamPool:
             # beam tick: encoder + device beam chunk + masked commits,
             # ONE jitted program (each eager op is a full-latency
             # dispatch on a remote-attached chip)
-            def pool_step_beam(states, carry, batch, fed):
-                new_states, lp = pool_step(states, batch, fed)
+            def pool_step_beam(states, carry, batch, fed, pad, virgin):
+                new_states, lp = pool_step(states, batch, fed, pad, virgin)
                 carry2, best_ids, best_len = self._dsb.chunk(carry, lp)
 
                 def commit(new, old):
@@ -203,6 +213,7 @@ class StreamPool:
         self.decoders: Dict[int, IncrementalGreedy] = {}
         self.skip: Dict[int, int] = {}
         self._free = list(range(slots))
+        self._virgin = set()                 # slots awaiting first chunk
         self._lock = threading.Lock()
 
     def open(self) -> Optional[int]:
@@ -212,6 +223,7 @@ class StreamPool:
                 return None
             slot = self._free.pop()
             self._reset_slot(slot)
+            self._virgin.add(slot)
             if self.decoder_kind == "beam":
                 mask = np.zeros((self.slots,), bool)
                 mask[slot] = True
@@ -258,10 +270,17 @@ class StreamPool:
         silence = np.zeros(self.chunk_samples, np.float32)
         emitted = []
         for _ in range(self.ot.prefix_frames // max(frames_per_chunk, 1) + 1):
-            emitted.append(self.feed({slot: silence})[slot])
+            # PAD steps: the encoder advances on zero FEATURES (the
+            # offline forward's end-of-utterance conv padding), not on
+            # featurized silence — log-mel of digital silence is a
+            # multi-sigma outlier under causal running stats and would
+            # contaminate the last RF/2 of real outputs
+            emitted.append(self.feed({slot: silence},
+                                     pad_slots=(slot,))[slot])
         return emitted if return_pieces else "".join(emitted)
 
-    def feed(self, inputs: Dict[int, np.ndarray]) -> Dict[int, str]:
+    def feed(self, inputs: Dict[int, np.ndarray],
+             pad_slots=()) -> Dict[int, str]:
         """Advance the FED slots one chunk; `inputs` maps slot -> audio
         chunk (exactly chunk_samples long): float waveform in [-1, 1],
         raw int16 PCM (shipped to the device as-is and scaled on chip —
@@ -272,7 +291,11 @@ class StreamPool:
         rows are NOT committed, so concurrent sessions never push phantom
         audio through each other's encoder state. Thread-safe: the
         read-modify-write of the pooled state is serialized under the
-        pool lock. Returns newly emitted text per fed slot."""
+        pool lock. Returns newly emitted text per fed slot.
+
+        `pad_slots`: slots whose chunk this tick is a FLUSH pad — their
+        encoder advances on zero features with the featurizer state
+        frozen (see flush)."""
         from vietasr_tpu.utils.typing import assert_waveform
 
         arrs = {s: np.asarray(c) for s, c in inputs.items()}
@@ -299,6 +322,14 @@ class StreamPool:
                     f"chunk must be exactly {self.chunk_samples} samples")
             batch[slot] = chunk
             fed[slot] = True
+        pad = np.zeros((self.slots,), bool)
+        for slot in pad_slots:
+            pad[slot] = True
+        virgin = np.zeros((self.slots,), bool)
+        for slot in arrs:
+            if slot in self._virgin and slot not in pad_slots:
+                virgin[slot] = True
+                self._virgin.discard(slot)
 
         with self._lock:
             if self.decoder_kind == "beam":
@@ -308,7 +339,9 @@ class StreamPool:
                 self.states, self.beam_carry, best_ids, best_len = \
                     self._pool_step_beam(self.states, self.beam_carry,
                                          jnp.asarray(batch),
-                                         jnp.asarray(fed))
+                                         jnp.asarray(fed),
+                                         jnp.asarray(pad),
+                                         jnp.asarray(virgin))
                 best_ids = np.asarray(best_ids)
                 best_len = np.asarray(best_len)
                 labels = self.ot.cfg.labels
@@ -326,7 +359,8 @@ class StreamPool:
                     self._emitted[slot] = cur
                 return out
             self.states, lp = self._pool_step(
-                self.states, jnp.asarray(batch), jnp.asarray(fed))
+                self.states, jnp.asarray(batch), jnp.asarray(fed),
+                jnp.asarray(pad), jnp.asarray(virgin))
             lp = np.asarray(lp)
             out: Dict[int, str] = {}
             for slot in inputs:

@@ -296,8 +296,12 @@ class ConformerOnlineTranscriber:
         self._enc = ConformerStream(cfg, variables)
         self.cfg = cfg
         self.variables = variables
+        # junk_align=4: pre-audio junk frames fill whole subsample
+        # groups, keeping the 4x frame-stacking grid phase-aligned with
+        # the offline forward (streaming_online.StreamingFeaturizer)
         self._sf = StreamingFeaturizer(cfg.featurizer,
-                                       causal_norm=causal_norm)
+                                       causal_norm=causal_norm,
+                                       junk_align=4)
         self.required_chunk_samples = \
             self._enc.t_in * cfg.featurizer.hop_length
         self._step = jax.jit(self._step_impl)
@@ -318,8 +322,26 @@ class ConformerOnlineTranscriber:
         return ConformerOnlineState(feat=self._sf.init_fields(),
                                     enc=self._enc.init_state())
 
-    def _step_impl(self, state: ConformerOnlineState, chunk: jnp.ndarray):
+    def seed_carry(self, state: ConformerOnlineState,
+                   first_chunk: jnp.ndarray) -> ConformerOnlineState:
+        """State with the audio carry reflect-filled from the stream's
+        first chunk (see streaming_online.StreamingFeaturizer
+        .reflect_carry)."""
+        feat = (self._sf.reflect_carry(first_chunk),) + tuple(state.feat[1:])
+        return ConformerOnlineState(feat=feat, enc=state.enc)
+
+    def _step_impl(self, state: ConformerOnlineState, chunk: jnp.ndarray,
+                   is_pad=False):
+        """is_pad=True (traced bool): flush step on ZERO features with the
+        featurizer state frozen — see OnlineTranscriber._step_impl. The
+        chunked-causal conformer has only one-chunk latency, so this is
+        rarely needed, but the pool drives both transcriber kinds through
+        one signature."""
+        is_pad = jnp.asarray(is_pad, bool)
         feat, frames = self._sf.step(state.feat, chunk)
+        frames = jnp.where(is_pad, 0.0, frames)
+        feat = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(is_pad, old, new), feat, state.feat)
         enc, lp = self._enc._step_impl(state.enc, frames)
         return ConformerOnlineState(feat=feat, enc=enc), lp
 
@@ -328,11 +350,16 @@ class ConformerOnlineTranscriber:
         returns concatenated (T_out, V+1) log-probs."""
         state = self.init_state()
         outs: List[np.ndarray] = []
+        first = True
         for chunk in chunks:
             if len(chunk) != self.required_chunk_samples:
                 raise ValueError(
                     f"chunk must be exactly {self.required_chunk_samples} "
                     f"samples (4 * chunk_size * hop); pad the final chunk")
+            if first:
+                state = self.seed_carry(state,
+                                        jnp.asarray(chunk, jnp.float32))
+                first = False
             state, lp = self._step(state, jnp.asarray(chunk, jnp.float32))
             outs.append(np.asarray(lp))
         if not outs:

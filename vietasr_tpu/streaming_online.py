@@ -53,7 +53,8 @@ class StreamingFeaturizer:
     on the offline hop grid; normalization is causal running stats (the
     documented SURVEY §5.7 deviation) or disabled."""
 
-    def __init__(self, fc: FeaturizerConfig, *, causal_norm: bool = True):
+    def __init__(self, fc: FeaturizerConfig, *, causal_norm: bool = True,
+                 junk_align: int = 1):
         if fc.frame_splicing != 1:
             raise NotImplementedError(
                 "online streaming requires frame_splicing == 1")
@@ -63,18 +64,110 @@ class StreamingFeaturizer:
         self._mel = jnp.asarray(mel_filterbank(
             fc.sample_rate, fc.fft_length, fc.features, fc.lowfreq,
             fc.highfreq).T)
-        # audio carry length: must satisfy L === n_fft//2 (mod hop) so that
-        # emitted frame centers land on the offline hop grid
+        # audio carry length: must satisfy L === n_fft//2 (mod hop) so
+        # that emitted frame centers land on the offline hop grid, AND
+        # junk_frames === 0 (mod junk_align) so the consumer's temporal
+        # subsampling grid (stride-2 prologue, 4x frame stacking, chunk
+        # grid) stays phase-aligned with the offline forward — the
+        # encoder sets junk_align to its stride/subsample product
         n_fft, hop = fc.fft_length, fc.hop_length
         base = n_fft - hop
         self.audio_carry = base + ((n_fft // 2 - base) % hop)
+        j0 = -(-(self.audio_carry - n_fft // 2) // hop)
+        self.audio_carry += ((-j0) % max(junk_align, 1)) * hop
 
     @property
     def junk_frames(self) -> int:
-        """Frames at stream start computed from the zero carry beyond the
-        offline center pad (callers fold this into their prefix drop)."""
+        """Emitted frames at stream start whose centers fall BEFORE the
+        audio (callers fold this into their prefix drop): emitted frame f
+        centers at absolute sample f*hop - (carry - n_fft/2), so the
+        pre-audio count is ceil((carry - n_fft/2) / hop). Round 5 fixed
+        an off-by-one here: the old floor+1 form overcounted by one
+        exactly when carry - n_fft/2 is a hop multiple — true for the
+        shipped 512/160 featurizer — silently shifting "aligned" frames
+        by one and keeping one polluted boundary frame in the causal
+        stats."""
         fc = self.fc
-        return (self.audio_carry - fc.fft_length // 2) // fc.hop_length + 1
+        return -(-(self.audio_carry - fc.fft_length // 2)
+                 // fc.hop_length)
+
+    def reflect_carry(self, first_chunk: jnp.ndarray) -> jnp.ndarray:
+        """Audio-carry contents that make the stream's boundary frames
+        equal the OFFLINE featurizer's bit for bit.
+
+        Offline reflect-pads n_fft/2 samples of the PREEMPHASIZED signal
+        before the waveform (features.log_mel_features: preemph, then
+        reflect pad) — with a zero carry the first ~2 real frames come
+        out quieter by up to ~16 log-mel units, outliers that permanently
+        contaminate the causal running stats (round-5 root cause of the
+        streaming-garbage finding).
+
+        The carry holds RAW samples that step() preemphasizes in-stream,
+        so the tail cells c_j must satisfy c_j - p*c_{j-1} = xp[half-j]
+        (the offline reflected preemph values) AND c_last = 0 (so the
+        first real sample preemphasizes against zero, matching offline's
+        untouched xp[0] = x[0]). Solving the recurrence backward from
+        the zero junction gives the closed form
+        c_m = -sum_{j>m} T_j p^{m-j}, computed here via a scaled reverse
+        cumsum. Cells before the tail only feed pre-audio (junk) frames,
+        whose outputs are dropped."""
+        fc = self.fc
+        half = fc.fft_length // 2
+        if first_chunk.shape[0] <= half:
+            raise ValueError(
+                f"first chunk must exceed n_fft/2={half} samples to "
+                "build the reflect carry")
+        carry = jnp.zeros((self.audio_carry,), jnp.float32)
+        p = fc.preemph
+        if not p:
+            return carry.at[self.audio_carry - half:].set(
+                first_chunk[half:0:-1])
+        x = first_chunk[: half + 1]
+        xp = x - p * jnp.concatenate([jnp.zeros((1,), x.dtype), x[:-1]])
+        # targets per tail cell j in [0, half): T_j = xp[half - j]
+        t = xp[half:0:-1]                                 # (half,)
+        j = jnp.arange(half, dtype=jnp.float32)
+        # c_m = -sum_{j > m} T_j p^{m-j}  ->  scaled reverse cumsum
+        a = t * p ** (-j)                                 # T_j p^{-j}
+        s = jnp.cumsum(a[::-1])[::-1] - a                 # sum_{j > m} a_j
+        c = -(p ** j) * s
+        carry = carry.at[self.audio_carry - half:].set(c)
+        if self.audio_carry > half:
+            # cell 0's preemph reads the cell before the tail: set it so
+            # pre(cell 0) = T_0 as well (that cell's own preemphed value
+            # only feeds pre-audio junk windows)
+            carry = carry.at[self.audio_carry - half - 1].set(
+                (c[0] - t[0]) / p)
+        return carry
+
+    @property
+    def tail_valid_frames(self) -> int:
+        """Frames in the end-reflect tail step whose centers are still
+        inside the audio: frames needing up to n_fft/2 future samples."""
+        return -(-(self.fc.fft_length // 2) // self.fc.hop_length)
+
+    def end_reflect_tail(self, carry: jnp.ndarray) -> jnp.ndarray:
+        """Raw samples that extend the stream with the offline
+        featurizer's END reflect padding: offline pads n_fft/2 samples
+        of reflect(xp) after the waveform; the stream must feed raw y
+        with preemph(y | last x) == that suffix. Forward recurrence
+        y_i = T_i + p*y_{i-1} (stable), T_i = xp[N-2-i], solved in
+        closed form via a scaled cumsum over the audio carry's tail."""
+        fc = self.fc
+        half = fc.fft_length // 2
+        if carry.shape[0] < half + 2:
+            raise ValueError("audio carry shorter than n_fft/2 + 2")
+        p = fc.preemph
+        x = carry[-(half + 2):]                     # x[N-half-2 .. N-1]
+        if not p:
+            return x[-2:1:-1]                       # plain end reflect
+        xp = x[1:] - p * x[:-1]                     # xp[N-half-1 .. N-1]
+        t = xp[-2::-1]                              # T_i = xp[N-2-i]
+        i = jnp.arange(half, dtype=jnp.float32)
+        # y_i = sum_{k<=i} T_k p^{i-k} + p^{i+1} x_{N-1}
+        a = t * p ** (-i)
+        y = (p ** i) * jnp.cumsum(a) + (p ** (i + 1)) * x[-1]
+        return y
 
     def init_fields(self):
         fc = self.fc
@@ -111,21 +204,45 @@ class StreamingFeaturizer:
             # 0..t only, exactly the offline normalize="causal_per_feature"
             # cumsum formulation (features._normalize) — training with
             # that mode and serving through here see the same statistics.
-            # Carried fields are raw sums (count, Σx, Σx²).
-            cnt = norm_count + jnp.arange(1, n_frames + 1,
-                                          dtype=jnp.float32)   # (n,)
-            s1 = norm_s1 + jnp.cumsum(mel, axis=0)             # (n, M)
-            s2 = norm_s2 + jnp.cumsum(mel * mel, axis=0)
+            # Carried fields: norm_count = frames PROCESSED (incl. junk);
+            # norm_s1/norm_s2 = raw Σx/Σx² over ACCUMULATED frames.
+            #
+            # The stream's first `junk_frames` outputs come from the zero
+            # audio carry: their log-mel is ~log(guard) ≈ -16, an extreme
+            # outlier vs real frames. Including them in the running stats
+            # permanently contaminated mean/var (round-5 debug: feature
+            # error vs offline still 1-2σ at utterance END; the trained
+            # causal model decoded streams to EMPTY at offline WER 0.09).
+            # They are EXCLUDED from accumulation — the post-junk stats
+            # then equal the offline causal stats frame for frame — and
+            # normalized with whatever stats exist (their encoder outputs
+            # are dropped by the prefix logic regardless).
+            g = norm_count + jnp.arange(n_frames, dtype=jnp.float32)
+            keep = (g >= float(self.junk_frames)).astype(mel.dtype)  # (n,)
+            eff0 = jnp.maximum(norm_count - float(self.junk_frames), 0.0)
+            cnt = eff0 + jnp.cumsum(keep)                      # (n,)
+            mel_k = mel * keep[:, None]
+            s1 = norm_s1 + jnp.cumsum(mel_k, axis=0)           # (n, M)
+            s2 = norm_s2 + jnp.cumsum(mel_k * mel_k, axis=0)
             cnt_safe = jnp.maximum(cnt, 1.0)[:, None]
             mean = s1 / cnt_safe
             var = jnp.maximum(s2 / cnt_safe - mean * mean, 0.0) \
                 * (cnt_safe / jnp.maximum(cnt_safe - 1.0, 1.0))
-            std = jnp.sqrt(var) + 1e-5
-            out = (mel - mean) / std
-            new_norm = (cnt[-1], s1[-1], s2[-1])
+            from vietasr_tpu.frontend.features import \
+                CAUSAL_STD_GUARD
+
+            std = jnp.sqrt(var) + CAUSAL_STD_GUARD
+            # junk frames OUTPUT zero as well: with empty stats they would
+            # normalize to mel/1e-5 ~ +-1e6 and poison every conv ring
+            # buffer for half the receptive field; zero is exactly what
+            # the offline forward's left conv padding provides there
+            out = ((mel - mean) / std) * keep[:, None]
+            new_norm = (norm_count + float(n_frames), s1[-1], s2[-1])
         else:
-            new_norm = (norm_count, norm_s1, norm_s2)
-            out = mel
+            g = norm_count + jnp.arange(n_frames, dtype=jnp.float32)
+            keep = (g >= float(self.junk_frames)).astype(mel.dtype)
+            out = mel * keep[:, None]
+            new_norm = (norm_count + float(n_frames), norm_s1, norm_s2)
 
         new_fields = (x[-self.audio_carry:], x[-(self.audio_carry + 1)]) \
             + new_norm
@@ -141,12 +258,14 @@ class StreamState:
     norm_count: jnp.ndarray             # () frames seen
     norm_s1: jnp.ndarray                # (n_mels,) running Σx
     norm_s2: jnp.ndarray                # (n_mels,) running Σx²
+    feat_pos: jnp.ndarray               # () feature frames processed
+    real_feat_end: jnp.ndarray          # () frames before flush began
     blocks: Tuple[jnp.ndarray, ...]     # per conv block: (k-1, C) carry
 
 
 def tree_flatten_state(s):  # registered below
     return ((s.audio, s.preemph_last, s.norm_count, s.norm_s1, s.norm_s2,
-             s.blocks), None)
+             s.feat_pos, s.real_feat_end, s.blocks), None)
 
 
 jax.tree_util.register_pytree_node(
@@ -164,14 +283,46 @@ class OnlineTranscriber:
         self.cfg = cfg
         self.variables = folded_variables
         self.causal_norm = causal_norm
+        stride_prod = 1
+        for b in cfg.encoder.blocks:
+            stride_prod *= b.stride
         self._sf = StreamingFeaturizer(cfg.featurizer,
-                                       causal_norm=causal_norm)
+                                       causal_norm=causal_norm,
+                                       junk_align=stride_prod)
         for b in cfg.encoder.blocks[1:]:
             if b.stride != 1 or b.dilation != 1 or b.repeat != 1:
                 raise NotImplementedError(
                     "online streaming requires stride/dilation/repeat 1 "
                     "after the prologue")
+        # offline-grid phase: each strided conv must consume the junk
+        # region an integral number of strides (guaranteed for the
+        # shipped configs: even junk + even half-kernels)
+        j = self._sf.junk_frames
+        for b in cfg.encoder.blocks:
+            half = (b.effective_kernel - 1) // 2
+            if (j + half) % b.stride:
+                raise NotImplementedError(
+                    f"stride {b.stride} block with half-kernel {half} "
+                    f"breaks offline grid alignment at junk={j}")
+            j = (j + half) // b.stride
         self._audio_carry = self._sf.audio_carry
+        # per-layer pre-audio output counts (the prefix_frames recurrence,
+        # evaluated after each block): output positions < _junk_after[i]
+        # of block i fall before the audio and are force-zeroed in the
+        # step when conv_mask is on — the offline forward has literal
+        # zero conv padding there, while computed f(0) activations carry
+        # folded-BN biases through ReLU and contaminate every output
+        # within RF/2 of the stream start (round-5 root cause #2 of the
+        # streaming-garbage finding; #1 was the flush, #3 the norm stats)
+        self._junk_after = []
+        self._stride_after = []
+        j, cum = self._sf.junk_frames, 1
+        for b in cfg.encoder.blocks:
+            half = (b.effective_kernel - 1) // 2
+            j = -(-(j + half) // b.stride)
+            cum *= b.stride
+            self._junk_after.append(j)
+            self._stride_after.append(cum)
         self._step = jax.jit(self._step_impl)
 
     @property
@@ -213,8 +364,19 @@ class OnlineTranscriber:
         return StreamState(
             audio=audio, preemph_last=pre,
             norm_count=cnt, norm_s1=s1, norm_s2=s2,
+            feat_pos=jnp.zeros((), jnp.int32),
+            real_feat_end=jnp.zeros((), jnp.int32),
             blocks=tuple(carries),
         )
+
+    def seed_carry(self, state: StreamState,
+                   first_chunk: jnp.ndarray) -> StreamState:
+        """State with the audio carry reflect-filled from the stream's
+        first chunk (StreamingFeaturizer.reflect_carry) — makes boundary
+        frame values offline-identical. stream() applies it itself; pool
+        callers apply it to virgin slots."""
+        return dataclasses.replace(
+            state, audio=self._sf.reflect_carry(first_chunk))
 
     def _featurize_chunk(self, state: StreamState, chunk: jnp.ndarray):
         """chunk: (S,) raw samples, S a multiple of hop. Emits S/hop frames."""
@@ -256,14 +418,74 @@ class OnlineTranscriber:
         new_carry = xin[-(k - 1):] if k > 1 else carry
         return new_carry, y
 
-    def _step_impl(self, state: StreamState, chunk: jnp.ndarray):
-        state, feats = self._featurize_chunk(state, chunk)
+    def _step_impl(self, state: StreamState, chunk: jnp.ndarray,
+                   is_pad=False, is_tail=False):
+        """One chunk step. Two flush modes (traced bools):
+
+        is_tail=True — the END-REFLECT step, run once when the audio
+        ends: the fed chunk is replaced by [end_reflect_tail(carry) ++
+        zeros], reproducing the offline featurizer's right-side reflect
+        padding, so the last boundary frames (windows crossing the
+        utterance end) get their offline values; only tail_valid_frames
+        of them count as real (real_feat_end advances by that).
+
+        is_pad=True — pure drain: the encoder advances on ZERO features
+        (offline right conv padding) with the featurizer frozen.
+        Feeding silence AUDIO instead of either would normalize to
+        multi-sigma outlier frames and contaminate every output within
+        half the receptive field of the stream end."""
+        is_pad = jnp.asarray(is_pad, bool)
+        is_tail = jnp.asarray(is_tail, bool)
+        tail_chunk = jnp.zeros_like(chunk)
+        tail = self._sf.end_reflect_tail(state.audio)
+        tail_chunk = tail_chunk.at[: tail.shape[0]].set(tail)
+        chunk = jnp.where(is_tail, tail_chunk, chunk)
+        new_state, feats = self._featurize_chunk(state, chunk)
+        feats = jnp.where(is_pad, 0.0, feats)
+        state = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(is_pad, old, new), new_state, state)
+        feat_pos = state.feat_pos
+        n = feats.shape[0]
+        # real_feat_end: the utterance's true feature length, from which
+        # each block's offline output length follows (ceil by strides).
+        # Normal steps: all emitted frames are real. Tail step: only the
+        # frames whose centers precede the audio end. Pad steps: frozen.
+        real_end = jnp.where(
+            is_pad, state.real_feat_end,
+            jnp.where(is_tail,
+                      feat_pos + self._sf.tail_valid_frames,
+                      feat_pos + n))
+        state = dataclasses.replace(state, feat_pos=feat_pos + n,
+                                    real_feat_end=real_end)
+        # feature-level end mask: frames at/after the real end are
+        # outside the utterance — offline sets them to pad_value (0)
+        fidx = feat_pos + jnp.arange(n)
+        feats = jnp.where((fidx >= real_end)[:, None], 0.0, feats)
         x = feats
         new_carries = []
+        real_len = jnp.maximum(real_end - self._sf.junk_frames, 0)
         for i, bcfg in enumerate(self.cfg.encoder.blocks):
             carry, x = self._block_chunk(
                 state.blocks[i], x, self.variables["params"]["encoder"][i],
                 bcfg)
+            real_len = (real_len + bcfg.stride - 1) // bcfg.stride
+            if self.cfg.encoder.conv_mask:
+                # offline zeroes every layer's activations OUTSIDE the
+                # utterance (mask_padding in quartznet_apply + zero conv
+                # padding): computed f(0) activations would instead carry
+                # the folded-BN bias through ReLU and contaminate every
+                # output within RF/2 of either stream boundary (for 12x1
+                # that is 6.4 s — the whole output, typically; round-5
+                # root cause of the streaming-garbage finding). Zero this
+                # block's outputs at pre-audio positions (< _junk_after)
+                # and beyond the utterance's per-block offline length.
+                # Position-based, NOT chunk-based: deeper blocks lag, so
+                # real positions still emit during flush pad steps.
+                pos0 = feat_pos // self._stride_after[i]
+                idx = pos0 + jnp.arange(x.shape[0])
+                bad = (idx < self._junk_after[i]) \
+                    | (idx >= self._junk_after[i] + real_len)
+                x = jnp.where(bad[:, None], 0.0, x)
             new_carries.append(carry)
         dec = self.variables["params"]["decoder"]
         logits = x @ dec["w"] + dec["b"]
@@ -273,22 +495,48 @@ class OnlineTranscriber:
 
     # ------------------------------------------------------------------
 
-    def stream(self, chunks, *, drop_prefix: bool = True) -> np.ndarray:
+    def stream(self, chunks, *, drop_prefix: bool = True,
+               flush: bool = False) -> np.ndarray:
         """Feed raw-sample chunks (each a multiple of 2*hop samples);
         returns the concatenated emitted log-probs (zero-context prefix
-        frames dropped unless drop_prefix=False)."""
+        frames dropped unless drop_prefix=False).
+
+        flush=True drains the decoder's algorithmic latency (half the
+        receptive field) after the last chunk by running pad steps on
+        zero FEATURES — the streamed output then matches the offline
+        forward's end-of-utterance conv padding. Without it the caller
+        only sees outputs centered up to RF/2 before the last sample."""
         hop = self.cfg.featurizer.hop_length
         state = self.init_state()
         outs: List[np.ndarray] = []
+        chunk_len = 0
+        first = True
         for chunk in chunks:
             if len(chunk) % (2 * hop) != 0:
                 raise ValueError(
                     f"chunk length {len(chunk)} must be a multiple of "
                     f"2*hop={2 * hop} (even frame count keeps the stride-2 "
                     f"prologue phase); pad the final chunk")
+            chunk_len = len(chunk)
+            if first:
+                state = self.seed_carry(state,
+                                        jnp.asarray(chunk, jnp.float32))
+                first = False
             state, lp = self._step(state, jnp.asarray(chunk, jnp.float32))
             if lp.shape[0]:
                 outs.append(np.asarray(lp))
+        if flush and chunk_len:
+            zero = jnp.zeros((chunk_len,), jnp.float32)
+            per_chunk = max(self.out_frames(chunk_len), 1)
+            # end-reflect tail step first (offline right reflect pad),
+            # then pure zero-feature pad steps to drain the latency
+            state, lp = self._step(state, zero, False, True)
+            if lp.shape[0]:
+                outs.append(np.asarray(lp))
+            for _ in range(-(-self.prefix_frames // per_chunk)):
+                state, lp = self._step(state, zero, True)
+                if lp.shape[0]:
+                    outs.append(np.asarray(lp))
         if not outs:
             return np.zeros((0, 1))
         out = np.concatenate(outs, axis=0)
