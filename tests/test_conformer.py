@@ -101,6 +101,7 @@ def test_conformer_bf16_close_to_fp32(tiny_cfg):
     assert float(jnp.max(jnp.abs(lp32 - lp16))) < 0.15
 
 
+@pytest.mark.slow
 def test_scan_blocks_matches_unrolled(tiny_cfg):
     """lax.scan over the block stack is the default; its outputs must be
     bit-compatible with the Python unroll (same math, same dropout keys),
@@ -166,7 +167,10 @@ def test_stack_subsample_forward(tiny_cfg):
     assert abs(s - 1.0) < 1e-4
 
 
-@pytest.mark.parametrize("sub", ["conv2d", "stack"])
+@pytest.mark.parametrize("sub", [
+    pytest.param("conv2d", marks=pytest.mark.slow),
+    "stack",
+])
 def test_conformer_training_decreases_loss(tiny_cfg, sub):
     import dataclasses
 

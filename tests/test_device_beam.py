@@ -253,6 +253,7 @@ def test_device_beam_word_lm_batched(word_lm):
         assert " ".join(texts[i].split()) == want, i
 
 
+@pytest.mark.slow
 def test_pipeline_device_beam_word_lm_wiring(tmp_path):
     """Transcriber auto-sniffs a word-level ARPA and routes device_beam
     through the hashed word-LM tables (short + long-form paths)."""

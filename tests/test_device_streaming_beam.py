@@ -59,6 +59,7 @@ def test_chunked_equals_offline_with_word_lm(tmp_path):
     assert got == want
 
 
+@pytest.mark.slow
 def test_reset_rows_isolates_slots():
     rng = np.random.RandomState(3)
     lp1 = _rand_lp(rng, 2, 20, BLANK + 1)

@@ -93,6 +93,7 @@ def test_mse_and_aggregate():
     assert abs(float(total) - 1.5) < 1e-6
 
 
+@pytest.mark.slow
 def test_zeros_batch_and_tone_dataset_run_through_model():
     from test_train import tiny_config
 
@@ -139,6 +140,7 @@ def test_transcript_dataset(tmp_path):
     assert ds[0][0] == 99 and ds[0][-1] == 98
 
 
+@pytest.mark.slow
 def test_stablehlo_export_roundtrip(tmp_path):
     from vietasr_tpu.export import export_transcriber, load_exported
     from vietasr_tpu.pipeline import Transcriber, TranscriberOptions

@@ -80,6 +80,7 @@ def test_read_g711_wav(tag):
     np.testing.assert_array_equal(got, dec.astype(np.float32) / 32768.0)
 
 
+@pytest.mark.slow
 def test_longform_ulaw_wire_matches_int16():
     """The fused long-form program ingests uint8 mu-law and decodes on
     device; transcripts must match feeding the decoded int16 directly."""

@@ -105,7 +105,11 @@ def test_pallas_matches_host_oracle_word_lm(word_lm):
     assert " ".join(got.split()) == want
 
 
-@pytest.mark.parametrize("width", [12, 50, 100])
+@pytest.mark.parametrize("width", [
+    12,
+    pytest.param(50, marks=pytest.mark.slow),
+    pytest.param(100, marks=pytest.mark.slow),
+])
 def test_pallas_matches_xla_wide_and_unaligned_widths(width, word_lm):
     """The reference's deploy widths (W=100 CLI infer.py:191, W=50 web
     app.py:27) and non-8-multiple widths must route through the blocked
@@ -123,7 +127,11 @@ def test_pallas_matches_xla_wide_and_unaligned_widths(width, word_lm):
         alpha=0.5, beta=1.5, unk_logp=unk))
 
 
-@pytest.mark.parametrize("order", [2, 4, 5])
+@pytest.mark.parametrize("order", [
+    2,
+    pytest.param(4, marks=pytest.mark.slow),
+    pytest.param(5, marks=pytest.mark.slow),
+])
 def test_pallas_matches_xla_higher_orders(order, tmp_path):
     """Fused-kernel word-LM fusion at the reference's 4/5-gram artifact
     orders (.MISSING_LARGE_BLOBS:4-6) stays bit-identical to the XLA
@@ -147,7 +155,10 @@ def test_pallas_matches_xla_higher_orders(order, tmp_path):
         alpha=0.5, beta=1.5, unk_logp=unk))
 
 
-@pytest.mark.parametrize("width", [48, 100])
+@pytest.mark.parametrize("width", [
+    48,
+    pytest.param(100, marks=pytest.mark.slow),
+])
 def test_pallas_wide_no_lm(width):
     rng = np.random.RandomState(width)
     t, v1 = 10, 5
@@ -196,7 +207,10 @@ def test_dense_lm_packing(word_lm):
     assert (k1[lv < 0] == 0).all()
 
 
-@pytest.mark.parametrize("chunk", [4, 8])
+@pytest.mark.parametrize("chunk", [
+    pytest.param(4, marks=pytest.mark.slow),
+    8,
+])
 def test_pallas_chunked_lm_match_identical(chunk, word_lm):
     """Processing the dense LM table in row blocks (the large-table mode)
     must be bit-identical to the single-pass match."""

@@ -94,6 +94,7 @@ def test_pallas_infeasible_row_grad_is_zero():
     assert np.isfinite(np.asarray(g)).all()
 
 
+@pytest.mark.slow
 def test_train_step_with_pallas_ctc_converges():
     """The full jitted train step with ctc_impl='pallas' decreases loss
     (interpret mode on CPU via a monkeypatched interpret default is not

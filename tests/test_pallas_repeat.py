@@ -114,6 +114,7 @@ def test_eligibility_gate():
                               params, False)
 
 
+@pytest.mark.slow
 def test_full_model_routing_matches_xla():
     """quartznet_apply(block_impl='pallas') == block_impl='xla' on a full
     small model (bf16, folded) — the auto-routing integration path."""

@@ -121,6 +121,7 @@ def test_grouped_pointwise_stays_float():
     assert np.all(np.isfinite(np.asarray(lp)))
 
 
+@pytest.mark.slow
 def test_transcriber_calibrate_int8(tmp_path):
     from vietasr_tpu.pipeline import Transcriber, TranscriberOptions
 

@@ -160,6 +160,7 @@ def test_jasper_rnn_connector_shapes_and_masking():
     assert out_eval.shape == (3, 10, 8)
 
 
+@pytest.mark.slow
 def test_las_end_to_end_convergence():
     """Acoustic-ish features -> connector -> attention decoder memorizes a
     tiny labelled set (the LAS experiment wiring, las/misc.py + helpers)."""

@@ -186,6 +186,7 @@ def test_fused_longform_transcribe_equals_grouped_decode():
     assert got == ids_to_text(ids, t.cfg.labels)
 
 
+@pytest.mark.slow
 def test_transcribe_long_batch_matches_individual():
     """Pipelined batch API must return exactly what per-utterance calls do
     (incl. the fallback for a short single-chunk utterance)."""

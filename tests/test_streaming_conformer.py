@@ -44,9 +44,11 @@ def offline(variables, cfg, feats):
     return np.asarray(lp[0])
 
 
-@pytest.mark.parametrize("left_chunks,conv_kernel,sub",
-                         [(1, 7, "conv2d"), (2, 5, "conv2d"),
-                          (2, 7, "stack")])
+@pytest.mark.parametrize("left_chunks,conv_kernel,sub", [
+    pytest.param(1, 7, "conv2d", marks=pytest.mark.slow),
+    pytest.param(2, 5, "conv2d", marks=pytest.mark.slow),
+    (2, 7, "stack"),
+])
 def test_stream_matches_offline(left_chunks, conv_kernel, sub):
     cfg = make_cfg(chunk_size=4, left_chunks=left_chunks,
                    conv_kernel=conv_kernel, subsampling_mode=sub)

@@ -68,6 +68,7 @@ def test_tp_forward_matches_replicated(cfg):
                                atol=2e-4, rtol=2e-4)
 
 
+@pytest.mark.slow
 def test_tp_train_step_runs(cfg):
     from vietasr_tpu.config import (DataConfig, EncoderConfig, ModelConfig,
                                     SpecAugmentConfig)

@@ -33,7 +33,16 @@ def main():
     ap.add_argument("--config",
                     default="/root/reference/configs/quartznet12x1_vi.yaml")
     ap.add_argument("--out-dir", default="artifacts")
+    ap.add_argument("--out-name", default="real_speech_qn12x1_vi",
+                    help="artifact basename; use real_speech_qn12x1_vi_"
+                         "causal for the causal-norm streaming anchor")
     args = ap.parse_args()
+
+    patched = os.path.join(args.work_dir, "config.yaml")
+    if os.path.exists(patched):
+        # training emitted a patched config (e.g. --normalize override):
+        # the artifact must be loaded under the SAME config
+        args.config = patched
 
     import flax.serialization
     import jax
@@ -51,7 +60,7 @@ def main():
     os.makedirs(args.out_dir, exist_ok=True)
     blob = flax.serialization.msgpack_serialize(
         jax.tree_util.tree_map(lambda x: jax.device_get(x), variables))
-    out = os.path.join(args.out_dir, "real_speech_qn12x1_vi.msgpack.gz")
+    out = os.path.join(args.out_dir, args.out_name + ".msgpack.gz")
     with gzip.open(out, "wb", compresslevel=6) as f:
         f.write(blob)
     manifest_src = os.path.join(args.work_dir, "real_speech_manifest.json")
