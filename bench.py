@@ -642,30 +642,42 @@ def measure_stream_match():
 
         cfg_file = os.path.join(tempfile.mkdtemp(), "causal.yaml")
         save_config(cfg, cfg_file)
-    t = Transcriber(cfg_file, variables=variables,
-                    options=TranscriberOptions(compute_dtype=None))
-    offline = [h.strip() for h in t.transcribe_batch(sigs)]
-
     lm_path = os.path.join(tempfile.mkdtemp(), "vi_word.arpa")
     train_ngram_arpa(VI_CORPUS + refs, lm_path, order=3, char_level=False)
+    # offline comparator: the SAME decode tier as the pool (on-device
+    # beam + word LM) on the SAME chunk-padded audio — apples to apples
+    cs = 3200
+    padded = []
+    for s in sigs:
+        p = np.zeros(len(s) + (-len(s)) % cs, np.float32)
+        p[: len(s)] = s
+        padded.append(p)
+    t = Transcriber(cfg_file, variables=variables,
+                    options=TranscriberOptions(
+                        compute_dtype=None, decoder="device_beam",
+                        lm_path=lm_path, beam_width=16))
+    offline = [h.strip() for h in t.transcribe_batch(padded)]
+
     ot = OnlineTranscriber(cfg, fold_batchnorm(variables, cfg.encoder),
                            causal_norm=True)
     pool = StreamPool(ot, slots=len(sigs), decoder="beam",
                       lm_path=lm_path)
-    cs = pool.chunk_samples
-    tail = ot.prefix_frames * cfg.featurizer.hop_length * 2
-    max_len = max(len(s) for s in sigs) + tail
-    max_len += (-max_len) % cs
+    assert pool.chunk_samples == cs
     slots = [pool.open() for _ in sigs]
-    for off in range(0, max_len, cs):
+    # per-slot exact-length feeds (int16 wire), then per-slot flush
+    # (tail + pad steps) — each stream ends at ITS audio end, as in
+    # real serving
+    max_chunks = max(len(p) // cs for p in padded)
+    for ci in range(max_chunks):
         tick = {}
-        for i, s in enumerate(sigs):
-            chunk = np.zeros(cs, np.float32)
-            piece = s[off:off + cs]
-            chunk[: len(piece)] = piece
-            tick[slots[i]] = ulaw_encode(
-                np.clip(chunk * 32767.0, -32768, 32767).astype(np.int16))
+        for i, p in enumerate(padded):
+            if ci * cs < len(p):
+                tick[slots[i]] = np.clip(
+                    p[ci * cs:(ci + 1) * cs] * 32767.0,
+                    -32768, 32767).astype(np.int16)
         pool.feed(tick)
+    for i in range(len(sigs)):
+        pool.flush(slots[i])
     hyps = [pool.close(slots[i]).strip() for i in range(len(sigs))]
     n_match = sum(h == o for h, o in zip(hyps, offline))
     return (n_match, len(sigs), round(word_error_rate(hyps, refs), 4),

@@ -154,7 +154,7 @@ class StreamPool:
         # (un-fed slots keep their state). Committing inside jit matters:
         # an eager tree_map of jnp.where over the ~dozens of state leaves
         # costs one dispatch each on a remote-attached chip.
-        def pool_step(states, batch, fed, pad, virgin):
+        def pool_step(states, batch, fed, pad, tail, virgin):
             if batch.dtype == jnp.uint8:
                 # G.711 wire format (mu-law by default, A-law via
                 # wire_encoding="alaw"): 8x fewer host->device bytes than
@@ -179,7 +179,7 @@ class StreamPool:
                                    + (1,) * (a.ndim - 1)), a, b),
                 seeded, states)
             new_states, lp = jax.vmap(transcriber._step_impl)(states, batch,
-                                                              pad)
+                                                              pad, tail)
 
             def commit(new, old):
                 mask = fed.reshape((fed.shape[0],) + (1,) * (new.ndim - 1))
@@ -193,8 +193,10 @@ class StreamPool:
             # beam tick: encoder + device beam chunk + masked commits,
             # ONE jitted program (each eager op is a full-latency
             # dispatch on a remote-attached chip)
-            def pool_step_beam(states, carry, batch, fed, pad, virgin):
-                new_states, lp = pool_step(states, batch, fed, pad, virgin)
+            def pool_step_beam(states, carry, batch, fed, pad, tail,
+                               virgin):
+                new_states, lp = pool_step(states, batch, fed, pad, tail,
+                                           virgin)
                 carry2, best_ids, best_len = self._dsb.chunk(carry, lp)
 
                 def commit(new, old):
@@ -269,18 +271,21 @@ class StreamPool:
         frames_per_chunk = self.ot.out_frames(self.chunk_samples)
         silence = np.zeros(self.chunk_samples, np.float32)
         emitted = []
+        # first a TAIL step (the offline featurizer's end reflect
+        # padding, synthesized from the slot's audio carry), then PAD
+        # steps: the encoder advances on zero FEATURES (offline
+        # end-of-utterance conv padding) — featurized silence instead
+        # is a multi-sigma outlier under causal running stats and would
+        # contaminate the last RF/2 of real outputs
+        emitted.append(self.feed({slot: silence},
+                                 tail_slots=(slot,))[slot])
         for _ in range(self.ot.prefix_frames // max(frames_per_chunk, 1) + 1):
-            # PAD steps: the encoder advances on zero FEATURES (the
-            # offline forward's end-of-utterance conv padding), not on
-            # featurized silence — log-mel of digital silence is a
-            # multi-sigma outlier under causal running stats and would
-            # contaminate the last RF/2 of real outputs
             emitted.append(self.feed({slot: silence},
                                      pad_slots=(slot,))[slot])
         return emitted if return_pieces else "".join(emitted)
 
     def feed(self, inputs: Dict[int, np.ndarray],
-             pad_slots=()) -> Dict[int, str]:
+             pad_slots=(), tail_slots=()) -> Dict[int, str]:
         """Advance the FED slots one chunk; `inputs` maps slot -> audio
         chunk (exactly chunk_samples long): float waveform in [-1, 1],
         raw int16 PCM (shipped to the device as-is and scaled on chip —
@@ -325,6 +330,9 @@ class StreamPool:
         pad = np.zeros((self.slots,), bool)
         for slot in pad_slots:
             pad[slot] = True
+        tail = np.zeros((self.slots,), bool)
+        for slot in tail_slots:
+            tail[slot] = True
         virgin = np.zeros((self.slots,), bool)
         for slot in arrs:
             if slot in self._virgin and slot not in pad_slots:
@@ -341,6 +349,7 @@ class StreamPool:
                                          jnp.asarray(batch),
                                          jnp.asarray(fed),
                                          jnp.asarray(pad),
+                                         jnp.asarray(tail),
                                          jnp.asarray(virgin))
                 best_ids = np.asarray(best_ids)
                 best_len = np.asarray(best_len)
@@ -360,7 +369,7 @@ class StreamPool:
                 return out
             self.states, lp = self._pool_step(
                 self.states, jnp.asarray(batch), jnp.asarray(fed),
-                jnp.asarray(pad), jnp.asarray(virgin))
+                jnp.asarray(pad), jnp.asarray(tail), jnp.asarray(virgin))
             lp = np.asarray(lp)
             out: Dict[int, str] = {}
             for slot in inputs:

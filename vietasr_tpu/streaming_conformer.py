@@ -331,13 +331,20 @@ class ConformerOnlineTranscriber:
         return ConformerOnlineState(feat=feat, enc=state.enc)
 
     def _step_impl(self, state: ConformerOnlineState, chunk: jnp.ndarray,
-                   is_pad=False):
+                   is_pad=False, is_tail=False):
         """is_pad=True (traced bool): flush step on ZERO features with the
-        featurizer state frozen — see OnlineTranscriber._step_impl. The
-        chunked-causal conformer has only one-chunk latency, so this is
-        rarely needed, but the pool drives both transcriber kinds through
-        one signature."""
+        featurizer state frozen — see OnlineTranscriber._step_impl.
+        is_tail=True: the fed chunk is replaced by the end-reflect tail
+        (offline right reflect padding) synthesized from the audio
+        carry. The chunked-causal conformer has only one-chunk latency,
+        so flushing is rarely needed, but the pool drives both
+        transcriber kinds through one signature."""
         is_pad = jnp.asarray(is_pad, bool)
+        is_tail = jnp.asarray(is_tail, bool)
+        tail_chunk = jnp.zeros_like(chunk)
+        tail = self._sf.end_reflect_tail(state.feat[0])
+        tail_chunk = tail_chunk.at[: tail.shape[0]].set(tail)
+        chunk = jnp.where(is_tail, tail_chunk, chunk)
         feat, frames = self._sf.step(state.feat, chunk)
         frames = jnp.where(is_pad, 0.0, frames)
         feat = jax.tree_util.tree_map(
