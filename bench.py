@@ -645,7 +645,9 @@ def measure_stream_match():
     lm_path = os.path.join(tempfile.mkdtemp(), "vi_word.arpa")
     train_ngram_arpa(VI_CORPUS + refs, lm_path, order=3, char_level=False)
     # offline comparator: the SAME decode tier as the pool (on-device
-    # beam + word LM) on the SAME chunk-padded audio — apples to apples
+    # beam + word LM) on the true-length audio — the pool's per-slot
+    # tail_real ends each stream at ITS true end, so no padded surrogate
+    # is needed on either side
     cs = 3200
     padded = []
     for s in sigs:
@@ -656,7 +658,7 @@ def measure_stream_match():
                     options=TranscriberOptions(
                         compute_dtype=None, decoder="device_beam",
                         lm_path=lm_path, beam_width=16))
-    offline = [h.strip() for h in t.transcribe_batch(padded)]
+    offline = [h.strip() for h in t.transcribe_batch(sigs)]
 
     ot = OnlineTranscriber(cfg, fold_batchnorm(variables, cfg.encoder),
                            causal_norm=True)
@@ -668,16 +670,24 @@ def measure_stream_match():
     # (tail + pad steps) — each stream ends at ITS audio end, as in
     # real serving
     max_chunks = max(len(p) // cs for p in padded)
+    tail_done = [False] * len(sigs)
     for ci in range(max_chunks):
-        tick = {}
-        for i, p in enumerate(padded):
+        tick, tails, treal = {}, [], {}
+        for i, (p, s) in enumerate(zip(padded, sigs)):
             if ci * cs < len(p):
                 tick[slots[i]] = np.clip(
                     p[ci * cs:(ci + 1) * cs] * 32767.0,
                     -32768, 32767).astype(np.int16)
-        pool.feed(tick)
+                if (ci + 1) * cs >= len(p) and len(p) > len(s):
+                    # final padded chunk: splice the end reflect at the
+                    # slot's TRUE audio end (exact-boundary wavs get
+                    # their tail from flush instead)
+                    tails.append(slots[i])
+                    treal[slots[i]] = len(s) - ci * cs
+                    tail_done[i] = True
+        pool.feed(tick, tail_slots=tuple(tails), tail_real=treal)
     for i in range(len(sigs)):
-        pool.flush(slots[i])
+        pool.flush(slots[i], tail_done=tail_done[i])
     hyps = [pool.close(slots[i]).strip() for i in range(len(sigs))]
     n_match = sum(h == o for h, o in zip(hyps, offline))
     return (n_match, len(sigs), round(word_error_rate(hyps, refs), 4),

@@ -193,3 +193,25 @@ def test_causal_per_feature_numpy_reference():
             std = np.sqrt(var) + CAUSAL_STD_GUARD
             np.testing.assert_allclose(got[b, t], (x[b, t] - mean) / std,
                                        rtol=2e-4, atol=2e-4)
+
+
+def test_true_samples_matches_offline_midchunk_end():
+    """Utterances ending mid-chunk: stream(..., true_samples=N) equals
+    the offline forward of the UNPADDED audio — the reflect tail splices
+    at the true end instead of treating wire padding as audio (which
+    measurably degrades decodes, docs/heldout_wer.md)."""
+    cfg, variables = small_model(normalize="causal_per_feature")
+    ot = OnlineTranscriber(cfg, variables, causal_norm=True)
+    rng = np.random.RandomState(11)
+    n_true = 16000 * 2 + 4487              # ends mid-chunk, off-grid
+    signal = (rng.randn(n_true) * 0.1).astype(np.float32)
+    cs = 3200
+    pad = (-n_true) % cs
+    padded = np.concatenate([signal, np.zeros(pad, np.float32)])
+    chunks = [padded[i:i + cs] for i in range(0, len(padded), cs)]
+    stream_lp = ot.stream(chunks, true_samples=n_true)
+    want = offline_log_probs(cfg, variables, signal)
+    m = min(len(stream_lp), len(want))
+    assert m >= len(want) - 1
+    err = np.abs(stream_lp[:m] - want[:m]).max()
+    assert err < 5e-4, err

@@ -438,10 +438,13 @@ def _streaming_decode(cfg, run_dir, sigs):
     for sig in sigs:
         pad = (-len(sig)) % cs
         padded = np.concatenate([sig, np.zeros(pad, np.float32)])
-        # flush=True drains the RF/2 lookahead on zero FEATURES (offline
-        # right-padding semantics), not on featurized silence
+        # true_samples: the reflect tail splices at the TRUE utterance
+        # end; zero-feature pad steps drain the RF/2 lookahead (offline
+        # padding semantics — wire padding fed as audio degrades WER,
+        # docs/heldout_wer.md)
         lp = ot.stream([padded[i:i + cs]
-                        for i in range(0, len(padded), cs)], flush=True)
+                        for i in range(0, len(padded), cs)],
+                       true_samples=len(sig))
         hyps.append(_greedy_text(lp, cfg.labels))
     return hyps
 

@@ -154,7 +154,7 @@ class StreamPool:
         # (un-fed slots keep their state). Committing inside jit matters:
         # an eager tree_map of jnp.where over the ~dozens of state leaves
         # costs one dispatch each on a remote-attached chip.
-        def pool_step(states, batch, fed, pad, tail, virgin):
+        def pool_step(states, batch, fed, pad, tail, treal, virgin):
             if batch.dtype == jnp.uint8:
                 # G.711 wire format (mu-law by default, A-law via
                 # wire_encoding="alaw"): 8x fewer host->device bytes than
@@ -179,7 +179,8 @@ class StreamPool:
                                    + (1,) * (a.ndim - 1)), a, b),
                 seeded, states)
             new_states, lp = jax.vmap(transcriber._step_impl)(states, batch,
-                                                              pad, tail)
+                                                              pad, tail,
+                                                              treal)
 
             def commit(new, old):
                 mask = fed.reshape((fed.shape[0],) + (1,) * (new.ndim - 1))
@@ -194,9 +195,9 @@ class StreamPool:
             # ONE jitted program (each eager op is a full-latency
             # dispatch on a remote-attached chip)
             def pool_step_beam(states, carry, batch, fed, pad, tail,
-                               virgin):
+                               treal, virgin):
                 new_states, lp = pool_step(states, batch, fed, pad, tail,
-                                           virgin)
+                                           treal, virgin)
                 carry2, best_ids, best_len = self._dsb.chunk(carry, lp)
 
                 def commit(new, old):
@@ -262,7 +263,8 @@ class StreamPool:
         self.states = jax.tree_util.tree_map(
             lambda batched, s: batched.at[slot].set(s), self.states, fresh)
 
-    def flush(self, slot: int, *, return_pieces: bool = False):
+    def flush(self, slot: int, *, return_pieces: bool = False,
+              tail_done: bool = False):
         """Drain the model's lookahead by feeding silence until the frames
         for all real audio have been emitted; returns the text that
         surfaced during the drain (or, with return_pieces, the per-chunk
@@ -276,16 +278,20 @@ class StreamPool:
         # steps: the encoder advances on zero FEATURES (offline
         # end-of-utterance conv padding) — featurized silence instead
         # is a multi-sigma outlier under causal running stats and would
-        # contaminate the last RF/2 of real outputs
-        emitted.append(self.feed({slot: silence},
-                                 tail_slots=(slot,))[slot])
+        # contaminate the last RF/2 of real outputs. tail_done=True
+        # skips the tail (the caller already fed the final chunk with
+        # tail_slots/tail_real: the true mid-chunk utterance end)
+        if not tail_done:
+            emitted.append(self.feed({slot: silence},
+                                     tail_slots=(slot,))[slot])
         for _ in range(self.ot.prefix_frames // max(frames_per_chunk, 1) + 1):
             emitted.append(self.feed({slot: silence},
                                      pad_slots=(slot,))[slot])
         return emitted if return_pieces else "".join(emitted)
 
     def feed(self, inputs: Dict[int, np.ndarray],
-             pad_slots=(), tail_slots=()) -> Dict[int, str]:
+             pad_slots=(), tail_slots=(),
+             tail_real=None) -> Dict[int, str]:
         """Advance the FED slots one chunk; `inputs` maps slot -> audio
         chunk (exactly chunk_samples long): float waveform in [-1, 1],
         raw int16 PCM (shipped to the device as-is and scaled on chip —
@@ -333,6 +339,9 @@ class StreamPool:
         tail = np.zeros((self.slots,), bool)
         for slot in tail_slots:
             tail[slot] = True
+        treal = np.zeros((self.slots,), np.int32)
+        for slot, r in (tail_real or {}).items():
+            treal[slot] = r
         virgin = np.zeros((self.slots,), bool)
         for slot in arrs:
             if slot in self._virgin and slot not in pad_slots:
@@ -350,6 +359,7 @@ class StreamPool:
                                          jnp.asarray(fed),
                                          jnp.asarray(pad),
                                          jnp.asarray(tail),
+                                         jnp.asarray(treal),
                                          jnp.asarray(virgin))
                 best_ids = np.asarray(best_ids)
                 best_len = np.asarray(best_len)
@@ -369,7 +379,8 @@ class StreamPool:
                 return out
             self.states, lp = self._pool_step(
                 self.states, jnp.asarray(batch), jnp.asarray(fed),
-                jnp.asarray(pad), jnp.asarray(tail), jnp.asarray(virgin))
+                jnp.asarray(pad), jnp.asarray(tail), jnp.asarray(treal),
+                jnp.asarray(virgin))
             lp = np.asarray(lp)
             out: Dict[int, str] = {}
             for slot in inputs:

@@ -331,7 +331,7 @@ class ConformerOnlineTranscriber:
         return ConformerOnlineState(feat=feat, enc=state.enc)
 
     def _step_impl(self, state: ConformerOnlineState, chunk: jnp.ndarray,
-                   is_pad=False, is_tail=False):
+                   is_pad=False, is_tail=False, tail_real=0):
         """is_pad=True (traced bool): flush step on ZERO features with the
         featurizer state frozen — see OnlineTranscriber._step_impl.
         is_tail=True: the fed chunk is replaced by the end-reflect tail
@@ -341,9 +341,19 @@ class ConformerOnlineTranscriber:
         transcriber kinds through one signature."""
         is_pad = jnp.asarray(is_pad, bool)
         is_tail = jnp.asarray(is_tail, bool)
-        tail_chunk = jnp.zeros_like(chunk)
-        tail = self._sf.end_reflect_tail(state.feat[0])
-        tail_chunk = tail_chunk.at[: tail.shape[0]].set(tail)
+        tail_real = jnp.asarray(tail_real, jnp.int32)
+        half = self._sf.fc.fft_length // 2
+        buf = jnp.concatenate([state.feat[0], chunk])
+        seg = jax.lax.dynamic_slice(
+            buf, (state.feat[0].shape[0] + tail_real - (half + 2),),
+            (half + 2,))
+        refl = self._sf.end_reflect_tail(seg)
+        pos = jnp.arange(chunk.shape[0])
+        rel = pos - tail_real
+        masked = jnp.where(pos < tail_real, chunk, 0.0)
+        tail_chunk = jnp.where(
+            (rel >= 0) & (rel < half),
+            refl[jnp.clip(rel, 0, half - 1)], masked)
         chunk = jnp.where(is_tail, tail_chunk, chunk)
         feat, frames = self._sf.step(state.feat, chunk)
         frames = jnp.where(is_pad, 0.0, frames)

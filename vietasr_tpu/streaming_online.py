@@ -419,7 +419,7 @@ class OnlineTranscriber:
         return new_carry, y
 
     def _step_impl(self, state: StreamState, chunk: jnp.ndarray,
-                   is_pad=False, is_tail=False):
+                   is_pad=False, is_tail=False, tail_real=0):
         """One chunk step. Two flush modes (traced bools):
 
         is_tail=True — the END-REFLECT step, run once when the audio
@@ -436,9 +436,24 @@ class OnlineTranscriber:
         half the receptive field of the stream end."""
         is_pad = jnp.asarray(is_pad, bool)
         is_tail = jnp.asarray(is_tail, bool)
-        tail_chunk = jnp.zeros_like(chunk)
-        tail = self._sf.end_reflect_tail(state.audio)
-        tail_chunk = tail_chunk.at[: tail.shape[0]].set(tail)
+        tail_real = jnp.asarray(tail_real, jnp.int32)
+        # tail step: the chunk's first tail_real samples are the FINAL
+        # real audio; the end-reflect splices in right after them, so
+        # the utterance can end anywhere on the hop grid instead of at
+        # a chunk boundary (trailing digital silence fed as audio
+        # measurably degrades decodes — see docs/heldout_wer.md)
+        half = self._sf.fc.fft_length // 2
+        buf = jnp.concatenate([state.audio, chunk])
+        seg = jax.lax.dynamic_slice(
+            buf, (state.audio.shape[0] + tail_real - (half + 2),),
+            (half + 2,))
+        refl = self._sf.end_reflect_tail(seg)
+        pos = jnp.arange(chunk.shape[0])
+        rel = pos - tail_real
+        masked = jnp.where(pos < tail_real, chunk, 0.0)
+        tail_chunk = jnp.where(
+            (rel >= 0) & (rel < half),
+            refl[jnp.clip(rel, 0, half - 1)], masked)
         chunk = jnp.where(is_tail, tail_chunk, chunk)
         new_state, feats = self._featurize_chunk(state, chunk)
         feats = jnp.where(is_pad, 0.0, feats)
@@ -450,11 +465,16 @@ class OnlineTranscriber:
         # each block's offline output length follows (ceil by strides).
         # Normal steps: all emitted frames are real. Tail step: only the
         # frames whose centers precede the audio end. Pad steps: frozen.
+        hop = self._sf.fc.hop_length
+        # offline frame count of the full utterance, in stream coords:
+        # feat_pos frames were emitted from fed samples; the carry still
+        # holds the final `junk` frames' worth; the tail chunk adds
+        # ceil(tail_real / hop) more real frames
+        tail_end = feat_pos + self._sf.junk_frames \
+            + (tail_real + hop - 1) // hop
         real_end = jnp.where(
             is_pad, state.real_feat_end,
-            jnp.where(is_tail,
-                      feat_pos + self._sf.tail_valid_frames,
-                      feat_pos + n))
+            jnp.where(is_tail, tail_end, feat_pos + n))
         state = dataclasses.replace(state, feat_pos=feat_pos + n,
                                     real_feat_end=real_end)
         # feature-level end mask: frames at/after the real end are
@@ -496,21 +516,31 @@ class OnlineTranscriber:
     # ------------------------------------------------------------------
 
     def stream(self, chunks, *, drop_prefix: bool = True,
-               flush: bool = False) -> np.ndarray:
+               flush: bool = False, true_samples: Optional[int] = None
+               ) -> np.ndarray:
         """Feed raw-sample chunks (each a multiple of 2*hop samples);
         returns the concatenated emitted log-probs (zero-context prefix
         frames dropped unless drop_prefix=False).
 
         flush=True drains the decoder's algorithmic latency (half the
-        receptive field) after the last chunk by running pad steps on
-        zero FEATURES — the streamed output then matches the offline
-        forward's end-of-utterance conv padding. Without it the caller
-        only sees outputs centered up to RF/2 before the last sample."""
+        receptive field) after the last chunk: one end-reflect TAIL step
+        (the offline featurizer's right reflect padding), then pad steps
+        on zero FEATURES (the offline right conv padding) — the streamed
+        output then matches the offline forward end to end.
+
+        true_samples (implies flush): the utterance's REAL length when
+        the final chunk is zero-padded to the chunk grid. The chunk
+        containing the end runs as the tail step with the reflect
+        spliced at the true end — trailing digital silence fed as audio
+        measurably degrades decodes (docs/heldout_wer.md: offline WER
+        0.085 -> 0.255 on ≤0.2 s of trailing zeros)."""
         hop = self.cfg.featurizer.hop_length
         state = self.init_state()
         outs: List[np.ndarray] = []
         chunk_len = 0
         first = True
+        fed = 0
+        did_tail = False
         for chunk in chunks:
             if len(chunk) % (2 * hop) != 0:
                 raise ValueError(
@@ -522,17 +552,29 @@ class OnlineTranscriber:
                 state = self.seed_carry(state,
                                         jnp.asarray(chunk, jnp.float32))
                 first = False
+            if true_samples is not None \
+                    and fed + len(chunk) > true_samples:
+                # the chunk containing the true end: tail step
+                r = max(true_samples - fed, 0)
+                state, lp = self._step(state,
+                                       jnp.asarray(chunk, jnp.float32),
+                                       False, True, r)
+                did_tail = True
+                if lp.shape[0]:
+                    outs.append(np.asarray(lp))
+                break
+            fed += len(chunk)
             state, lp = self._step(state, jnp.asarray(chunk, jnp.float32))
             if lp.shape[0]:
                 outs.append(np.asarray(lp))
-        if flush and chunk_len:
+        if (flush or true_samples is not None) and chunk_len:
             zero = jnp.zeros((chunk_len,), jnp.float32)
             per_chunk = max(self.out_frames(chunk_len), 1)
-            # end-reflect tail step first (offline right reflect pad),
-            # then pure zero-feature pad steps to drain the latency
-            state, lp = self._step(state, zero, False, True)
-            if lp.shape[0]:
-                outs.append(np.asarray(lp))
+            if not did_tail:
+                # audio ended exactly on the chunk grid: pure-reflect tail
+                state, lp = self._step(state, zero, False, True)
+                if lp.shape[0]:
+                    outs.append(np.asarray(lp))
             for _ in range(-(-self.prefix_frames // per_chunk)):
                 state, lp = self._step(state, zero, True)
                 if lp.shape[0]:
