@@ -131,23 +131,26 @@ def test_raw_audio_stream_matches_offline_pipeline():
     cfg = make_raw_cfg()
     variables = model_init(jax.random.PRNGKey(3), cfg)
     ot = ConformerOnlineTranscriber(cfg, variables, causal_norm=False)
+    # round 5: the pre-audio junk region fills the whole first chunk and
+    # that step runs with the encoder FROZEN — junk never enters the KV
+    # cache, so the streamed output equals the offline chunked forward
+    # of the REAL frames with no junk group in any attention window
+    assert ot.skip_first_step
 
     rng = np.random.RandomState(3)
     n_chunks = 6
     cs = ot.required_chunk_samples
     signal = (rng.randn(n_chunks * cs) * 0.1).astype(np.float32)
     chunks = [signal[i * cs:(i + 1) * cs] for i in range(n_chunks)]
-    got = ot.stream(chunks, drop_prefix=False)
+    got = ot.stream(chunks)            # prefix (the frozen step) dropped
 
-    # offline: run the offline chunked forward on EXACTLY the frames the
-    # stream emitted (the featurizer's own offline-equality is asserted
-    # in test_streaming_online; round 5 changed its boundary contract —
-    # reflect carry + junk zeroing — so the window is taken from the
-    # streaming featurizer itself rather than re-derived)
+    # offline chunked forward on EXACTLY the real frames the stream saw
+    # (the featurizer's offline-equality is asserted in
+    # test_streaming_online)
     from vietasr_tpu.streaming_online import StreamingFeaturizer
 
     sf = StreamingFeaturizer(cfg.featurizer, causal_norm=False,
-                             junk_align=4)
+                             junk_align=ot._sf.junk_frames)
     assert sf.audio_carry == ot._sf.audio_carry
     fields = sf.init_fields()
     fields = (sf.reflect_carry(jnp.asarray(chunks[0])),) + fields[1:]
@@ -155,15 +158,11 @@ def test_raw_audio_stream_matches_offline_pipeline():
     for c in chunks:
         fields, out = sf.step(fields, jnp.asarray(c))
         frames.append(np.asarray(out))
-    window = np.concatenate(frames, axis=0)[: n_chunks * ot._enc.t_in]
+    window = np.concatenate(frames, axis=0)[ot._sf.junk_frames:]
     want = offline(variables, cfg, jnp.asarray(window))
 
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, atol=2e-4)
-
-    # public API drops the zero-context prefix
-    dropped = ot.stream(chunks)
-    assert len(dropped) == len(got) - ot.prefix_frames
 
 
 def test_conformer_stream_pool():

@@ -426,7 +426,8 @@ def _streaming_decode(cfg, run_dir, sigs):
             pad = (-len(sig)) % cs
             padded = np.concatenate([sig, np.zeros(pad, np.float32)])
             lp = ot.stream([padded[i:i + cs]
-                            for i in range(0, len(padded), cs)])
+                            for i in range(0, len(padded), cs)],
+                           true_samples=len(sig))
             hyps.append(_greedy_text(lp, cfg.labels))
         return hyps
     from vietasr_tpu.models.quartznet import fold_batchnorm

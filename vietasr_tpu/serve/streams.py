@@ -154,6 +154,8 @@ class StreamPool:
         # (un-fed slots keep their state). Committing inside jit matters:
         # an eager tree_map of jnp.where over the ~dozens of state leaves
         # costs one dispatch each on a remote-attached chip.
+        skip_first = bool(getattr(transcriber, "skip_first_step", False))
+
         def pool_step(states, batch, fed, pad, tail, treal, virgin):
             if batch.dtype == jnp.uint8:
                 # G.711 wire format (mu-law by default, A-law via
@@ -178,9 +180,13 @@ class StreamPool:
                     virgin.reshape((virgin.shape[0],)
                                    + (1,) * (a.ndim - 1)), a, b),
                 seeded, states)
+            # enc-skip transcribers (chunked conformer): the all-junk
+            # first step must not commit encoder state (see
+            # ConformerOnlineTranscriber.skip_first_step)
+            eskip = virgin & skip_first
             new_states, lp = jax.vmap(transcriber._step_impl)(states, batch,
                                                               pad, tail,
-                                                              treal)
+                                                              treal, eskip)
 
             def commit(new, old):
                 mask = fed.reshape((fed.shape[0],) + (1,) * (new.ndim - 1))

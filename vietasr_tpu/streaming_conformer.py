@@ -148,7 +148,7 @@ class ConformerStream:
         y = jnp.maximum(y, 0.0)
         return xin[0, -2:], y
 
-    def _mhsa_chunk(self, x_cur, cache, kv_len, p):
+    def _mhsa_chunk(self, x_cur, cache, kv_len, p, cur_valid=None):
         """x_cur (C, D) current post-FF1 frames (pre-LN), cache (L, D)."""
         ccfg = self.ccfg
         h = ccfg.num_heads
@@ -170,19 +170,25 @@ class ConformerStream:
             raw, jnp.broadcast_to(self._pos_idx[None], (h, c, l + c)),
             axis=-1)
         scores = (content + position) / jnp.sqrt(jnp.asarray(dh, jnp.float32))
-        # cache is right-aligned: key j < L valid iff j >= L - kv_len
+        # cache is right-aligned: key j < L valid iff j >= L - kv_len;
+        # current-chunk keys beyond cur_valid (past the utterance end in
+        # the final chunk) are masked like offline's length mask
         jpos = jnp.arange(l + c)
         valid = jpos >= (l - kv_len)
+        if cur_valid is not None:
+            valid = valid & ((jpos < l) | (jpos - l < cur_valid))
         scores = jnp.where(valid[None, None, :], scores, -1e30)
         attn = jax.nn.softmax(scores, axis=-1)
         out = jnp.einsum("hij,jhe->ihe", attn, v).reshape(c, d)
         return _lin(out, p["out"])
 
-    def _conv_chunk(self, x, carry, p, stats):
+    def _conv_chunk(self, x, carry, p, stats, vmask=None):
         y = _ln(x, p["ln"])
         y = _lin(y, p["pw1"])
         a, g = jnp.split(y, 2, axis=-1)
         y = a * jax.nn.sigmoid(g)                          # GLU (C, D)
+        if vmask is not None:
+            y = y * vmask                # offline masks conv input by lens
         k, d = p["dw"].shape
         yin = jnp.concatenate([carry, y], axis=0)          # (k-1+C, D)
         z = jax.lax.conv_general_dilated(
@@ -198,11 +204,19 @@ class ConformerStream:
     def _ffn(self, x, p):
         return _lin(_swish(_lin(_ln(x, p["ln"]), p["in"])), p["out"])
 
-    def _step_impl(self, state: ConformerStreamState, feats: jnp.ndarray):
+    def _step_impl(self, state: ConformerStreamState, feats: jnp.ndarray,
+                   cur_valid=None):
         """feats (4*chunk_size, F) mel frames -> (state, (chunk_size, V+1))
-        log-probs."""
+        log-probs. cur_valid (traced count): output frames of THIS chunk
+        that are inside the utterance — frames beyond it are masked the
+        way the offline forward's length mask does (final-chunk ends)."""
         p = self.variables["params"]
         stats = self.variables["batch_stats"]
+        vmask = None
+        if cur_valid is not None:
+            cur_valid = jnp.asarray(cur_valid, jnp.int32)
+            vmask = (jnp.arange(self.c_out) < cur_valid)[:, None] \
+                .astype(jnp.float32)
         if self.ccfg.subsampling_mode == "stack":
             s1, s2 = state.sub1, state.sub2
             y = feats.reshape(self.c_out, -1)              # (C, 4F)
@@ -211,6 +225,8 @@ class ConformerStream:
             s2, y = self._sub_stage(state.sub2, y, p["sub2"])
             y = y.reshape(y.shape[0], -1)
         x = _lin(y, p["proj"])                             # (C, D)
+        if vmask is not None:
+            x = x * vmask                # offline: x = x * length_mask
 
         new_kv: List[jnp.ndarray] = []
         new_conv: List[jnp.ndarray] = []
@@ -219,9 +235,9 @@ class ConformerStream:
             new_kv.append(jnp.concatenate(
                 [state.kv[bi], x], axis=0)[-self.l_ctx:])
             x = x + self._mhsa_chunk(x, state.kv[bi], state.kv_len,
-                                     bp["mhsa"])
+                                     bp["mhsa"], cur_valid)
             carry, conv = self._conv_chunk(x, state.conv[bi], bp["conv"],
-                                           stats["blocks"][bi])
+                                           stats["blocks"][bi], vmask)
             new_conv.append(carry)
             x = x + conv
             x = x + 0.5 * self._ffn(x, bp["ff2"])
@@ -296,14 +312,23 @@ class ConformerOnlineTranscriber:
         self._enc = ConformerStream(cfg, variables)
         self.cfg = cfg
         self.variables = variables
-        # junk_align=4: pre-audio junk frames fill whole subsample
-        # groups, keeping the 4x frame-stacking grid phase-aligned with
-        # the offline forward (streaming_online.StreamingFeaturizer)
-        self._sf = StreamingFeaturizer(cfg.featurizer,
-                                       causal_norm=causal_norm,
-                                       junk_align=4)
+        # junk_align = 4*chunk_size: the pre-audio junk region fills the
+        # ENTIRE first attention chunk, so (a) the 4x frame-stacking
+        # grid AND the attention chunk grid stay phase-aligned with the
+        # offline forward, and (b) the whole first step can be run with
+        # the ENCODER FROZEN (skip_first_step): its junk frames never
+        # enter the KV cache or conv carries — offline chunk 0 has no
+        # left context, and a bias-propagated junk chunk in the cache
+        # measurably degraded streamed decodes (round 5:
+        # stream6_v2 streaming WER 0.224 vs offline 0.000 before this)
+        self._sf = StreamingFeaturizer(
+            cfg.featurizer, causal_norm=causal_norm,
+            junk_align=4 * max(cfg.conformer.chunk_size, 1))
         self.required_chunk_samples = \
             self._enc.t_in * cfg.featurizer.hop_length
+        # the first stream step covers exactly the junk region
+        self.skip_first_step = (
+            self._sf.junk_frames == self._enc.t_in)
         self._step = jax.jit(self._step_impl)
 
     @property
@@ -311,7 +336,9 @@ class ConformerOnlineTranscriber:
         """Output frames at stream start attributable to the featurizer's
         zero-context carry: the first j mel frames are junk and the causal
         4x subsample emits one frame per 4 inputs, so ceil(j/4) output
-        frames lead the audible content (callers drop them)."""
+        frames lead the audible content (callers drop them). With
+        skip_first_step this is exactly one chunk's outputs (the frozen
+        first step still emits placeholder frames)."""
         return -(-self._sf.junk_frames // 4)
 
     def out_frames(self, samples: int) -> int:
@@ -331,16 +358,19 @@ class ConformerOnlineTranscriber:
         return ConformerOnlineState(feat=feat, enc=state.enc)
 
     def _step_impl(self, state: ConformerOnlineState, chunk: jnp.ndarray,
-                   is_pad=False, is_tail=False, tail_real=0):
+                   is_pad=False, is_tail=False, tail_real=0,
+                   enc_skip=False, cur_valid=None):
         """is_pad=True (traced bool): flush step on ZERO features with the
         featurizer state frozen — see OnlineTranscriber._step_impl.
-        is_tail=True: the fed chunk is replaced by the end-reflect tail
-        (offline right reflect padding) synthesized from the audio
-        carry. The chunked-causal conformer has only one-chunk latency,
-        so flushing is rarely needed, but the pool drives both
-        transcriber kinds through one signature."""
+        is_tail=True: the fed chunk is replaced (beyond its tail_real
+        real samples) by the end-reflect tail synthesized from the audio
+        carry. enc_skip=True: the FEATURIZER advances but the encoder
+        state does not commit and the emitted frames are placeholders —
+        used for the all-junk first step (skip_first_step), so pre-audio
+        content never enters the KV cache / conv carries."""
         is_pad = jnp.asarray(is_pad, bool)
         is_tail = jnp.asarray(is_tail, bool)
+        enc_skip = jnp.asarray(enc_skip, bool)
         tail_real = jnp.asarray(tail_real, jnp.int32)
         half = self._sf.fc.fft_length // 2
         buf = jnp.concatenate([state.feat[0], chunk])
@@ -359,15 +389,41 @@ class ConformerOnlineTranscriber:
         frames = jnp.where(is_pad, 0.0, frames)
         feat = jax.tree_util.tree_map(
             lambda new, old: jnp.where(is_pad, old, new), feat, state.feat)
-        enc, lp = self._enc._step_impl(state.enc, frames)
+        enc, lp = self._enc._step_impl(state.enc, frames, cur_valid)
+        enc = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(enc_skip, old, new), enc,
+            state.enc)
         return ConformerOnlineState(feat=feat, enc=enc), lp
 
-    def stream(self, chunks, *, drop_prefix: bool = True) -> np.ndarray:
+    def stream(self, chunks, *, drop_prefix: bool = True,
+               true_samples=None) -> np.ndarray:
         """Feed raw-sample chunks of exactly `required_chunk_samples`;
-        returns concatenated (T_out, V+1) log-probs."""
+        returns concatenated (T_out, V+1) log-probs.
+
+        true_samples: the utterance's REAL sample count when the final
+        chunk is zero-padded — the end-containing chunk runs as the
+        reflect-tail step and the output is trimmed to the true frame
+        count (wire padding fed as audio degrades decodes)."""
+        hop = self.cfg.featurizer.hop_length
+        t_out = self._enc.c_out
+        true_out = None
+        if true_samples is not None:
+            true_out = -(-(-(-true_samples // hop)) // 4)
+
+        def valid_for(step_idx):
+            # step 0 is the junk/skip step; step k>=1 emits offline
+            # output frames [(k-1)*t_out, k*t_out)
+            if true_out is None:
+                return None
+            return np.int32(np.clip(true_out - (step_idx - 1) * t_out,
+                                    0, t_out))
+
         state = self.init_state()
         outs: List[np.ndarray] = []
         first = True
+        fed = 0
+        step_idx = 0
+        did_tail = False
         for chunk in chunks:
             if len(chunk) != self.required_chunk_samples:
                 raise ValueError(
@@ -376,10 +432,47 @@ class ConformerOnlineTranscriber:
             if first:
                 state = self.seed_carry(state,
                                         jnp.asarray(chunk, jnp.float32))
-                first = False
-            state, lp = self._step(state, jnp.asarray(chunk, jnp.float32))
+            skip = first and self.skip_first_step
+            first = False
+            if true_samples is not None \
+                    and fed + len(chunk) > true_samples:
+                r = max(true_samples - fed, 0)
+                state, lp = self._step(state,
+                                       jnp.asarray(chunk, jnp.float32),
+                                       False, True, r, skip,
+                                       valid_for(step_idx))
+                outs.append(np.asarray(lp))
+                fed += len(chunk)
+                did_tail = True
+                step_idx += 1
+                break
+            state, lp = self._step(state, jnp.asarray(chunk, jnp.float32),
+                                   False, False, 0, skip,
+                                   valid_for(step_idx))
             outs.append(np.asarray(lp))
+            fed += len(chunk)
+            step_idx += 1
+        if true_samples is not None and outs:
+            # drain the featurizer's junk-frames lag: the final output
+            # frames (incl. the end reflect held in the audio carry)
+            # emerge one step later; keep draining while real frames
+            # remain
+            zero = jnp.zeros((self.required_chunk_samples,), jnp.float32)
+            if not did_tail:
+                state, lp = self._step(state, zero, False, True, 0,
+                                       False, valid_for(step_idx))
+                outs.append(np.asarray(lp))
+                step_idx += 1
+            while (step_idx - 1) * t_out < true_out:
+                state, lp = self._step(state, zero, False, False, 0,
+                                       False, valid_for(step_idx))
+                outs.append(np.asarray(lp))
+                step_idx += 1
         if not outs:
             return np.zeros((0, 1), np.float32)
         out = np.concatenate(outs, axis=0)
-        return out[self.prefix_frames:] if drop_prefix else out
+        if drop_prefix:
+            out = out[self.prefix_frames:]
+        if true_out is not None:
+            out = out[: true_out]
+        return out

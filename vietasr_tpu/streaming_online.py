@@ -419,7 +419,9 @@ class OnlineTranscriber:
         return new_carry, y
 
     def _step_impl(self, state: StreamState, chunk: jnp.ndarray,
-                   is_pad=False, is_tail=False, tail_real=0):
+                   is_pad=False, is_tail=False, tail_real=0,
+                   enc_skip=False):
+        del enc_skip          # QuartzNet junk << chunk: no skip step
         """One chunk step. Two flush modes (traced bools):
 
         is_tail=True — the END-REFLECT step, run once when the audio
