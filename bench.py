@@ -243,7 +243,16 @@ def run_group(build, min_tfs=60.0):
     emission happens here so the retry can discard a bad capture."""
     for attempt in range(2):
         cn = round(wait_for_quiet_chip(min_tfs=min_tfs), 1)
-        metric, value, unit, kw = build()
+        try:
+            metric, value, unit, kw = build()
+        except Exception as e:                      # noqa: BLE001
+            # a failing group (compile error, OOM) must not take the
+            # whole multi-metric run down — emit the failure and move on
+            print(json.dumps({"metric": f"ERROR:{build.__name__}",
+                              "value": 0.0, "unit": "error",
+                              "vs_baseline": None,
+                              "error": str(e)[:500]}), flush=True)
+            return
         best, med = kw.get("best"), kw.get("median")
         contended = bool(best and med and med > 0 and best / med >= 2.0)
         if contended and attempt == 0:

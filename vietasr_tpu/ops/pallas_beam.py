@@ -595,31 +595,25 @@ def _beam_kernel(lens_ref, lp_ref, toplp_ref, topci_ref, *rest,
         t_i = jax.lax.bitcast_convert_type(totals, jnp.int32)
         t_s = jnp.where(t_i < 0, ~t_u, t_u | jnp.uint32(0x80000000))
         th = jnp.zeros((1, bsz), jnp.uint32)
-        # per-bit candidate count as an MXU matvec (ones-row dot): the
-        # cross-sublane VPU reduce was ~60% of the whole W=100 step
-        # (57 of 92 us, round-4 ablation); a (1, n_cand) x (n_cand, B)
-        # bf16 dot with f32 accumulation is exact for 0/1 summands and
-        # keeps the 32-step search off the VPU's slow reduce path
-        ones_row = jnp.ones((1, n_cand), jnp.bfloat16)
-
-        def _count_ge(thresh):
-            ge = (t_s >= thresh).astype(jnp.bfloat16)
-            return jax.lax.dot_general(
-                ones_row, ge, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)          # (1, B)
-
+        # ROUND-5 MEASURED REFUTATION: moving this count to an MXU
+        # matvec (ones-row (1, n_cand) x bf16 ge (n_cand, B) dot per
+        # bit) targeted the 57-of-92 us/step the search costs at W=100
+        # (r4 ablation) — but on chip the 32 staged dot operands blow
+        # the 16 MiB scoped-VMEM stack by 1.75 MiB at W=104/B=128 and
+        # the kernel fails to COMPILE (the VPU reduce never materializes
+        # those operands). The cross-sublane reduce stays; the select's
+        # cost is accepted as the wide-beam kernel's floor.
         for bit in range(31, -1, -1):
             cand_th = th | jnp.uint32(1 << bit)
-            th = jnp.where(_count_ge(cand_th) >= w_live, cand_th, th)
+            cnt = jnp.sum((t_s >= cand_th).astype(jnp.int32), axis=0,
+                          keepdims=True)                     # (1, B)
+            th = jnp.where(cnt >= w_live, cand_th, th)
         gt = t_s > th                                        # (n_cand, B)
         eq = t_s == th
         gt_rank, eq_rank = _cumsum_excl_pair(
             gt.astype(jnp.float32), eq.astype(jnp.float32))
-        n_eq = jax.lax.dot_general(
-            ones_row, eq.astype(jnp.bfloat16),
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        n_gt = _count_ge(th) - n_eq                          # (1, B)
+        n_gt = jnp.sum(gt.astype(jnp.int32), axis=0,
+                       keepdims=True).astype(jnp.float32)    # (1, B)
         need_eq = jnp.float32(w_live) - n_gt
         selected = gt | (eq & (eq_rank < need_eq))
         rank = gt_rank + jnp.minimum(eq_rank, need_eq)       # (n_cand, B)
