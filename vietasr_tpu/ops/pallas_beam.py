@@ -46,7 +46,11 @@ Semantics match `device_beam_search` with canonical (space-normalized)
 beam identity: same hashes, same merge rule, same Katz backoff carry,
 same backpointer reconstruction (shared `reconstruct_best_path`).
 Equality with the XLA path is asserted by tests/test_pallas_beam.py in
-interpret mode and spot-checked compiled on TPU.
+interpret mode and spot-checked compiled on TPU — scoped: on real-model
+posteriors the compiled kernel's transcripts match the XLA scan; on
+SYNTHETIC random logits at W=100 a few rows per batch diverge (fp tie
+resolution between different summation orders — both sides are valid
+beam searches; measured round 5, docs/rooflines.md wide-beam record).
 """
 
 from __future__ import annotations
@@ -595,19 +599,30 @@ def _beam_kernel(lens_ref, lp_ref, toplp_ref, topci_ref, *rest,
         t_i = jax.lax.bitcast_convert_type(totals, jnp.int32)
         t_s = jnp.where(t_i < 0, ~t_u, t_u | jnp.uint32(0x80000000))
         th = jnp.zeros((1, bsz), jnp.uint32)
-        # ROUND-5 MEASURED REFUTATION: moving this count to an MXU
-        # matvec (ones-row (1, n_cand) x bf16 ge (n_cand, B) dot per
-        # bit) targeted the 57-of-92 us/step the search costs at W=100
-        # (r4 ablation) — but on chip the 32 staged dot operands blow
-        # the 16 MiB scoped-VMEM stack by 1.75 MiB at W=104/B=128 and
-        # the kernel fails to COMPILE (the VPU reduce never materializes
-        # those operands). The cross-sublane reduce stays; the select's
-        # cost is accepted as the wide-beam kernel's floor.
-        for bit in range(31, -1, -1):
-            cand_th = th | jnp.uint32(1 << bit)
-            cnt = jnp.sum((t_s >= cand_th).astype(jnp.int32), axis=0,
-                          keepdims=True)                     # (1, B)
-            th = jnp.where(cnt >= w_live, cand_th, th)
+        # RADIX-4 threshold search: 16 serial iterations resolving 2
+        # bits each via THREE independent counts evaluated in parallel.
+        # Round-5 measurements showed the old 32-step radix-2 search is
+        # bound by the SERIAL chain latency, not reduce throughput: an
+        # MXU matvec count (a) fails to compile at the default 16 MiB
+        # scoped-VMEM limit (32 staged dot operands, +1.75 MiB at
+        # W=104/B=128) and (b) with vmem_limit_bytes raised, runs at
+        # exactly the same 68.8 ms/batch as the VPU reduce. Halving the
+        # chain length attacks the actual bound; the three counts per
+        # iteration are data-independent so the VPU pipelines them.
+        for hi in range(30, -2, -2):
+            c1 = th | jnp.uint32(1 << hi)                # bits 01
+            c2 = th | jnp.uint32(2 << hi)                # bits 10
+            c3 = th | jnp.uint32(3 << hi)                # bits 11
+            n1 = jnp.sum((t_s >= c1).astype(jnp.int32), axis=0,
+                         keepdims=True)
+            n2 = jnp.sum((t_s >= c2).astype(jnp.int32), axis=0,
+                         keepdims=True)
+            n3 = jnp.sum((t_s >= c3).astype(jnp.int32), axis=0,
+                         keepdims=True)
+            th = jnp.where(
+                n3 >= w_live, c3,
+                jnp.where(n2 >= w_live, c2,
+                          jnp.where(n1 >= w_live, c1, th)))
         gt = t_s > th                                        # (n_cand, B)
         eq = t_s == th
         gt_rank, eq_rank = _cumsum_excl_pair(
