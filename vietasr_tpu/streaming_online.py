@@ -188,13 +188,16 @@ class StreamingFeaturizer:
         # sample just before the carry window)
         prev = jnp.concatenate([preemph_last[None], x[:-1]])
         xp = x - fc.preemph * prev
-        # frames fully contained in [carry ++ chunk]
+        # frames fully contained in [carry ++ chunk]: convolve only the
+        # region that produces the emitted frames — windows starting
+        # deeper are recomputed next step anyway (with the junk-aligned
+        # conformer carry the full buffer costs ~2x the needed DFT work)
         n_frames = chunk.shape[0] // hop
+        need = (n_frames - 1) * hop + n_fft
         spec = jax.lax.conv_general_dilated(
-            xp[None, :, None], self._dft.reshape(n_fft, 1, -1),
+            xp[None, :need, None], self._dft.reshape(n_fft, 1, -1),
             window_strides=(hop,), padding=[(0, 0)],
             dimension_numbers=("NWC", "WIO", "NWC"))[0]
-        spec = spec[:n_frames]
         n_bins = n_fft // 2 + 1
         power = spec[:, :n_bins] ** 2 + spec[:, n_bins:] ** 2
         mel = jnp.log(power @ self._mel + fc.log_zero_guard_value)
